@@ -1,0 +1,185 @@
+"""On-policy losses: TRPL (trust-region projected) and clipped PPO.
+
+Pure-functional redesign of
+`geometry_rl/algorithms/trust_region_projections/objectives/{trpl,ppo,utils}.py`.
+The reference moved dist params GPU->CPU per minibatch for the C++ projection
+(trpl.py:241-245); here the projection is XLA, so the whole loss is one fused
+jit region. Losses take the already-computed policy outputs (DiagGaussian) so
+they stay model-agnostic; the train step closes over the network apply fns.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import gaussian as G
+from .gaussian import DiagGaussian
+from .projections.base import BaseProjection
+
+
+class LossInputs(NamedTuple):
+    """Per-sample minibatch data (leading batch dim B)."""
+
+    action: jnp.ndarray  # [B, A]
+    sample_log_prob: jnp.ndarray  # [B]   log pi_old(a|s) at collection time
+    advantage: jnp.ndarray  # [B]
+    value_target: jnp.ndarray  # [B]
+    old_value: jnp.ndarray  # [B]   V(s) at collection time (for value clip)
+
+
+def _distance_loss(pred: jnp.ndarray, target: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """torchrl `distance_loss` semantics (per-element, no reduction)."""
+    diff = pred - target
+    if kind == "l2":
+        return diff**2
+    if kind == "l1":
+        return jnp.abs(diff)
+    if kind == "smooth_l1":
+        absd = jnp.abs(diff)
+        return jnp.where(absd < 1.0, 0.5 * diff**2, absd - 0.5)
+    raise ValueError(f"Unknown loss_critic_type {kind!r}")
+
+
+def clipped_value_loss(
+    old_value: jnp.ndarray,
+    value: jnp.ndarray,
+    value_target: jnp.ndarray,
+    clip_value: float,
+    kind: str = "l2",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pessimistic (max) clipped value loss (objectives/utils.py:5-27).
+    Returns (per-sample loss, clip fraction)."""
+    base = _distance_loss(value, value_target, kind)
+    value_clipped = old_value + jnp.clip(value - old_value, -clip_value, clip_value)
+    clipped = _distance_loss(value_clipped, value_target, kind)
+    clip_fraction = jnp.mean((clipped > base).astype(value.dtype))
+    return jnp.maximum(base, clipped), clip_fraction
+
+
+def _normalize_advantage(adv: jnp.ndarray) -> jnp.ndarray:
+    loc = adv.mean()
+    scale = jnp.maximum(adv.std(), 1e-6)
+    return (adv - loc) / scale
+
+
+def _ess(log_weight: jnp.ndarray) -> jnp.ndarray:
+    """Effective sample size / batch (trpl.py:294-299,316)."""
+    lw = log_weight
+    ess = jnp.exp(2.0 * jax.scipy.special.logsumexp(lw) - jax.scipy.special.logsumexp(2.0 * lw))
+    return ess / lw.shape[0]
+
+
+def trpl_loss(
+    new_dist: DiagGaussian,
+    old_dist: DiagGaussian,
+    value: jnp.ndarray,
+    inputs: LossInputs,
+    projection: BaseProjection,
+    step=0,
+    *,
+    entropy_coef: float = 0.005,
+    critic_coef: float = 0.5,
+    clip_value: float = 0.2,
+    loss_critic_type: str = "l2",
+    normalize_advantage: bool = True,
+    entropy_bonus: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """TRPL objective (objectives/trpl.py:276-321).
+
+    Returns (actor_loss, critic_loss, metrics). actor_loss already includes
+    the trust-region penalty and entropy bonus (train.py:296-301 adds them
+    before backward); critic_loss is scaled by critic_coef.
+    """
+    advantage = inputs.advantage
+    if normalize_advantage:
+        advantage = _normalize_advantage(advantage)
+
+    proj_dist = projection(new_dist, old_dist, step)
+
+    log_prob = G.log_prob(proj_dist, inputs.action)
+    log_weight = log_prob - inputs.sample_log_prob
+
+    # IS-weighted gain, NO ratio clipping (trpl.py:302)
+    gain = jnp.exp(log_weight) * advantage
+    loss_objective = -gain.mean()
+
+    trust_region = projection.trust_region_loss(new_dist, proj_dist)
+
+    actor_loss = loss_objective + trust_region
+    entropy = G.entropy(proj_dist)
+    if entropy_bonus:
+        actor_loss = actor_loss - entropy_coef * entropy.mean()
+
+    critic_per_sample, clip_fraction = clipped_value_loss(
+        inputs.old_value, value, inputs.value_target, clip_value, loss_critic_type
+    )
+    critic_loss = critic_coef * critic_per_sample.mean()
+
+    metrics = {
+        "loss_objective": loss_objective,
+        "loss_trust_region": trust_region,
+        "loss_entropy": -entropy_coef * entropy.mean(),
+        "loss_critic": critic_loss,
+        "entropy": entropy.mean(),
+        "ESS": _ess(log_weight),
+        "value_clip_fraction": clip_fraction,
+    }
+    # constraint metrics vs the projected dist (trpl.py:318: p vs proj_p)
+    metrics.update(projection.compute_metrics(new_dist, proj_dist))
+    return actor_loss, critic_loss, metrics
+
+
+def ppo_clip_loss(
+    new_dist: DiagGaussian,
+    value: jnp.ndarray,
+    inputs: LossInputs,
+    *,
+    clip_epsilon: float = 0.2,
+    entropy_coef: float = 0.005,
+    critic_coef: float = 0.5,
+    clip_value: float | None = 0.2,
+    loss_critic_type: str = "l2",
+    normalize_advantage: bool = True,
+    entropy_bonus: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Clipped PPO with value clipping (objectives/ppo.py `ClipPPOLoss2`)."""
+    advantage = inputs.advantage
+    if normalize_advantage:
+        advantage = _normalize_advantage(advantage)
+
+    log_prob = G.log_prob(new_dist, inputs.action)
+    log_weight = log_prob - inputs.sample_log_prob
+
+    gain1 = jnp.exp(log_weight) * advantage
+    log_weight_clip = jnp.clip(log_weight, jnp.log1p(-clip_epsilon), jnp.log1p(clip_epsilon))
+    gain2 = jnp.exp(log_weight_clip) * advantage
+    gain = jnp.minimum(gain1, gain2)
+    loss_objective = -gain.mean()
+
+    actor_loss = loss_objective
+    entropy = G.entropy(new_dist)
+    if entropy_bonus:
+        actor_loss = actor_loss - entropy_coef * entropy.mean()
+
+    if clip_value is not None:
+        critic_per_sample, clip_fraction = clipped_value_loss(
+            inputs.old_value, value, inputs.value_target, clip_value, loss_critic_type
+        )
+    else:
+        critic_per_sample = _distance_loss(value, inputs.value_target, loss_critic_type)
+        clip_fraction = jnp.zeros(())
+    critic_loss = critic_coef * critic_per_sample.mean()
+
+    metrics = {
+        "loss_objective": loss_objective,
+        "loss_entropy": -entropy_coef * entropy.mean(),
+        "loss_critic": critic_loss,
+        "entropy": entropy.mean(),
+        "ESS": _ess(log_weight),
+        "clip_fraction": jnp.mean((gain2 < gain1).astype(value.dtype)),
+        "value_clip_fraction": clip_fraction,
+    }
+    return actor_loss, critic_loss, metrics
