@@ -1,0 +1,18 @@
+from .types import (  # noqa: F401
+    FixedJointSpec,
+    ParticleState,
+    RigidBodySpec,
+    RigidBodyState,
+    SceneState,
+    axis_mask_from_bits,
+    box_inertia,
+)
+from .xpbd import (  # noqa: F401
+    BodyAttachment,
+    ContactSet,
+    DistanceGroup,
+    ParticleSDFContact,
+    ParticleSpec,
+    step_physics,
+    xpbd_substep,
+)

@@ -1,0 +1,407 @@
+"""Batched XPBD solver — rigid bodies, particles, joints, contacts.
+
+One unified position-based dynamics core replaces PhysX for every reference
+task (SURVEY.md §2.10): rigid assemblies (peg + suction gripper welded by
+fixed joints, driven by root-velocity commands), XPBD particle systems (cloth,
+rope), attachments (particle<->body), and point-vs-SDF contact with Coulomb
+friction. Everything is a pure function of (state, specs) with static shapes:
+`vmap` over envs, `lax.scan` over substeps, `shard_map` over the TPU mesh.
+
+Solver scheme per substep (Müller et al., "Detailed Rigid Body Simulation
+with XPBD", 2020):
+  1. integrate velocities (gravity, damping, axis locks) and positions
+  2. Jacobi-iterate positional constraints: fixed joints (point + relative
+     orientation), point-vs-SDF contacts, particle distance groups
+     (Gauss-Seidel ACROSS groups for cloth convergence), attachments
+  3. recover velocities from position deltas; apply friction impulses
+
+PhysX parameter mapping: `solver_position_iteration_count` -> `iterations`;
+linear/angular damping -> exponential velocity decay; locked_{pos,rot}_axis
+bitmasks -> free-axis masks applied to velocity and corrections.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math import quat_apply, quat_conjugate, quat_mul, quat_normalize
+from .types import FixedJointSpec, ParticleState, RigidBodySpec, RigidBodyState, SceneState
+
+GRAVITY = jnp.array([0.0, 0.0, -9.81], dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# static (non-pytree) constraint descriptions
+# ---------------------------------------------------------------------------
+
+SDFFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+"""world points [..., 3] -> (signed distance [...], unit normal [..., 3])."""
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactSet:
+    """Collision points of one body against one SDF.
+
+    local_points: [P, 3] or [B, P, 3] body-frame sample points.
+    sdf: static callable; may close over per-env arrays of shape [B, ...]
+         (it receives points shaped [B, P, 3]).
+    """
+
+    body: int
+    local_points: jnp.ndarray
+    sdf: SDFFn
+    friction: float = 0.5
+
+    def __hash__(self):  # static under jit; identity hash is fine
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@dataclasses.dataclass(frozen=True)
+class ParticleSDFContact:
+    """All particles vs one SDF (cloth/rope vs ground etc.)."""
+
+    sdf: SDFFn
+    friction: float = 0.3
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+class DistanceGroup(NamedTuple):
+    """One parallel (conflict-free) group of particle distance constraints.
+
+    Within a group no particle appears twice, so Gauss-Seidel-quality updates
+    apply in parallel. Cloth/rope builders emit several groups (graph
+    coloring); the solver sweeps groups sequentially each iteration.
+    """
+
+    i: jnp.ndarray  # [C] int32 particle indices
+    j: jnp.ndarray  # [C]
+    rest: jnp.ndarray  # [C] or [B, C] rest lengths
+    compliance: jnp.ndarray  # [C] XPBD compliance (0 = rigid)
+
+
+class ParticleSpec(NamedTuple):
+    inv_mass: jnp.ndarray  # [NP] or [B, NP]
+    lin_damping: float = 0.0
+
+
+class BodyAttachment(NamedTuple):
+    """Pin particles to body-local points (cloth corner <-> gripper cube,
+    orbit `BodyAttachmentCfg`)."""
+
+    particle: jnp.ndarray  # [A] int32
+    body: jnp.ndarray  # [A] int32
+    local_pos: jnp.ndarray  # [A, 3] or [B, A, 3]
+
+
+# ---------------------------------------------------------------------------
+# rigid-body helpers
+# ---------------------------------------------------------------------------
+
+
+def _inv_inertia_world(quat: jnp.ndarray, inv_inertia_body: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Apply world-frame inverse inertia to vector u: R I_b^-1 R^T u."""
+    u_body = quat_apply(quat_conjugate(quat), u)
+    return quat_apply(quat, inv_inertia_body * u_body)
+
+
+def _generalized_inv_mass(
+    quat: jnp.ndarray, inv_mass: jnp.ndarray, inv_inertia: jnp.ndarray, r: jnp.ndarray, n: jnp.ndarray
+) -> jnp.ndarray:
+    """w = 1/m + (r x n)^T I^-1 (r x n) for a positional impulse at offset r."""
+    rxn = jnp.cross(r, n)
+    return inv_mass + jnp.sum(rxn * _inv_inertia_world(quat, inv_inertia, rxn), axis=-1)
+
+
+def _apply_impulse(pos, quat, inv_mass, inv_inertia, free_pos, free_rot, r, p):
+    """Positional impulse p at world offset r -> (new_pos, new_quat)."""
+    dpos = p * inv_mass[..., None] * free_pos
+    dw = _inv_inertia_world(quat, inv_inertia, jnp.cross(r, p)) * free_rot
+    dq = 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), quat)
+    return pos + dpos, quat_normalize(quat + dq)
+
+
+# ---------------------------------------------------------------------------
+# constraint solves (one Jacobi pass each)
+# ---------------------------------------------------------------------------
+
+
+def _solve_fixed_joints(
+    pos, quat, spec: RigidBodySpec, joints: FixedJointSpec, relax: float = 1.0
+):
+    """One pass over fixed joints: positional anchor + orientation weld.
+
+    pos/quat: [B, NB, ...]. Corrections for all joints are accumulated
+    (scatter-add) then applied — Jacobi over joints, exact for chains where
+    each body pair shares one joint (our scenes).
+    """
+    B, NB = pos.shape[:2]
+    ia, ib = joints.body_a, joints.body_b  # [NJ]
+    im_a, ii_a = spec.inv_mass[ia], spec.inv_inertia[ia]
+    im_b, ii_b = spec.inv_mass[ib], spec.inv_inertia[ib]
+
+    def scatter(vals, idx):
+        return jax.vmap(lambda v: jax.ops.segment_sum(v, idx, num_segments=NB), in_axes=0)(vals)
+
+    # --- stage 1: orientation weld (drive q_b -> q_a * rel_quat) ----------
+    # Applied BEFORE the anchor so the anchor sees welded orientations;
+    # computing both from the same state makes them cancel and stalls
+    # convergence for lever-arm joints.
+    qa, qb = quat[:, ia], quat[:, ib]
+    rel = joints.rel_quat if joints.rel_quat.ndim == 3 else joints.rel_quat[None]
+    q_target = quat_mul(qa, rel)
+    dq = quat_mul(q_target, quat_conjugate(qb))
+    sign = jnp.sign(dq[..., :1] + 1e-12)
+    theta = 2.0 * dq[..., 1:] * sign  # small-angle rotation vector
+    # split by angular weights (scalar approximation with diag inertias)
+    wa_r = jnp.sum(ii_a, axis=-1) / 3.0
+    wb_r = jnp.sum(ii_b, axis=-1) / 3.0
+    denom_r = jnp.maximum(wa_r + wb_r, 1e-12)
+    dth_a = -theta * (wa_r / denom_r)[..., None] * relax * spec.free_rot[ia]
+    dth_b = theta * (wb_r / denom_r)[..., None] * relax * spec.free_rot[ib]
+    dw = scatter(dth_a, ia) + scatter(dth_b, ib)
+    dq_all = 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), quat)
+    quat = quat_normalize(quat + dq_all)
+
+    # --- stage 2: positional anchor (from the welded orientations) --------
+    pa, qa = pos[:, ia], quat[:, ia]
+    pb, qb = pos[:, ib], quat[:, ib]
+    lpa = joints.local_pos_a if joints.local_pos_a.ndim == 3 else joints.local_pos_a[None]
+    lpb = joints.local_pos_b if joints.local_pos_b.ndim == 3 else joints.local_pos_b[None]
+    ra = quat_apply(qa, jnp.broadcast_to(lpa, (B,) + lpa.shape[-2:]))
+    rb = quat_apply(qb, jnp.broadcast_to(lpb, (B,) + lpb.shape[-2:]))
+    c = (pa + ra) - (pb + rb)  # [B, NJ, 3] violation
+    c_norm = jnp.linalg.norm(c, axis=-1, keepdims=True)
+    n = c / jnp.maximum(c_norm, 1e-9)
+    wa = _generalized_inv_mass(qa, im_a, ii_a, ra, n)
+    wb = _generalized_inv_mass(qb, im_b, ii_b, rb, n)
+    lam = -c_norm.squeeze(-1) / jnp.maximum(wa + wb, 1e-12)
+    p = lam[..., None] * n * relax
+
+    dpos = scatter(p * im_a[..., None] * spec.free_pos[ia], ia) + scatter(
+        -p * im_b[..., None] * spec.free_pos[ib], ib
+    )
+    dw_a = _inv_inertia_world(qa, ii_a, jnp.cross(ra, p)) * spec.free_rot[ia]
+    dw_b = -_inv_inertia_world(qb, ii_b, jnp.cross(rb, p)) * spec.free_rot[ib]
+    dw = scatter(dw_a, ia) + scatter(dw_b, ib)
+
+    pos = pos + dpos
+    dq_all = 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), quat)
+    quat = quat_normalize(quat + dq_all)
+    return pos, quat
+
+
+def _solve_body_contacts(pos, quat, prev_pos, prev_quat, spec, contact: ContactSet, mu_scale=1.0):
+    """One pass of point-vs-SDF contact for one body, with static friction on
+    the substep's tangential motion (PBD-style)."""
+    b = contact.body
+    lp = contact.local_points
+    if lp.ndim == 2:
+        lp = jnp.broadcast_to(lp[None], (pos.shape[0],) + lp.shape)
+
+    p_b, q_b = pos[:, b], quat[:, b]  # [B, ...]
+    r = quat_apply(q_b[:, None, :], lp)  # [B, P, 3] world offsets
+    world_pts = p_b[:, None, :] + r
+
+    phi, n = contact.sdf(world_pts)  # [B, P], [B, P, 3]
+    pen = jnp.minimum(phi, 0.0)  # negative inside
+    active = (phi < 0.0).astype(pos.dtype)
+
+    im = spec.inv_mass[b]
+    ii = spec.inv_inertia[b]
+    w = _generalized_inv_mass(q_b[:, None, :], im, ii, r, n)  # [B, P]
+    lam_n = -pen / jnp.maximum(w, 1e-12) * active  # >= 0
+    p_imp = lam_n[..., None] * n
+
+    # friction: oppose tangential displacement of the contact point this substep
+    prev_r = quat_apply(prev_quat[:, b][:, None, :], lp)
+    prev_pts = prev_pos[:, b][:, None, :] + prev_r
+    disp = world_pts - prev_pts
+    disp_t = disp - jnp.sum(disp * n, axis=-1, keepdims=True) * n
+    t_norm = jnp.linalg.norm(disp_t, axis=-1, keepdims=True)
+    t_dir = disp_t / jnp.maximum(t_norm, 1e-9)
+    w_t = _generalized_inv_mass(q_b[:, None, :], im, ii, r, t_dir)
+    lam_t = jnp.minimum(
+        t_norm.squeeze(-1) / jnp.maximum(w_t, 1e-12),
+        contact.friction * mu_scale * lam_n,
+    )
+    p_imp = p_imp - (lam_t * active)[..., None] * t_dir
+
+    # sum impulses over contact points -> single body update
+    total_p = p_imp.sum(axis=1)
+    total_ang = jnp.cross(r, p_imp).sum(axis=1)
+    dpos = total_p * im * spec.free_pos[b]
+    dw = _inv_inertia_world(q_b, ii, total_ang) * spec.free_rot[b]
+
+    new_p = p_b + dpos
+    dq = 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), q_b)
+    new_q = quat_normalize(q_b + dq)
+    return pos.at[:, b].set(new_p), quat.at[:, b].set(new_q)
+
+
+def _solve_distance_group(x, inv_mass, group: DistanceGroup, dt):
+    """Parallel distance-constraint solve for one conflict-free group."""
+    xi, xj = x[:, group.i], x[:, group.j]  # [B, C, 3]
+    wi = inv_mass[..., group.i] if inv_mass.ndim == 2 else inv_mass[group.i][None]
+    wj = inv_mass[..., group.j] if inv_mass.ndim == 2 else inv_mass[group.j][None]
+    rest = group.rest if group.rest.ndim == 2 else group.rest[None]
+
+    d = xi - xj
+    dist = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dist, 1e-9)[..., None]
+    c = dist - rest
+    alpha = group.compliance[None] / (dt * dt)
+    lam = -c / jnp.maximum(wi + wj + alpha, 1e-12)
+    dx = lam[..., None] * n
+
+    x = x.at[:, group.i].add(dx * wi[..., None])
+    x = x.at[:, group.j].add(-dx * wj[..., None])
+    return x
+
+
+def _solve_attachments(x, inv_mass, pos, quat, spec, att: BodyAttachment):
+    """Particle <-> body pins. Two-way: both the particle and the body move
+    according to their generalized inverse masses."""
+    B, NB = pos.shape[:2]
+    lp = att.local_pos if att.local_pos.ndim == 3 else att.local_pos[None]
+    qb = quat[:, att.body]
+    pb = pos[:, att.body]
+    r = quat_apply(qb, jnp.broadcast_to(lp, (B,) + lp.shape[-2:]))
+    target = pb + r
+
+    xp = x[:, att.particle]
+    wp = inv_mass[..., att.particle] if inv_mass.ndim == 2 else inv_mass[att.particle][None]
+    im_b = spec.inv_mass[att.body]
+    ii_b = spec.inv_inertia[att.body]
+
+    c = xp - target
+    c_norm = jnp.linalg.norm(c, axis=-1, keepdims=True)
+    n = c / jnp.maximum(c_norm, 1e-9)
+    wb = _generalized_inv_mass(qb, im_b, ii_b, r, n)
+    lam = -c_norm.squeeze(-1) / jnp.maximum(wp + wb, 1e-12)
+    dx = lam[..., None] * n
+
+    x = x.at[:, att.particle].add(dx * wp[..., None])
+
+    def scatter(vals, idx):
+        return jax.vmap(lambda v: jax.ops.segment_sum(v, idx, num_segments=NB))(vals)
+
+    p_imp = -dx
+    dpos = scatter(p_imp * im_b[..., None] * spec.free_pos[att.body], att.body)
+    dw_j = _inv_inertia_world(qb, ii_b, jnp.cross(r, p_imp)) * spec.free_rot[att.body]
+    dw = scatter(dw_j, att.body)
+    pos = pos + dpos
+    dq = 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), quat)
+    quat = quat_normalize(quat + dq)
+    return x, pos, quat
+
+
+# ---------------------------------------------------------------------------
+# the substep
+# ---------------------------------------------------------------------------
+
+
+def xpbd_substep(
+    state: SceneState,
+    body_spec: RigidBodySpec,
+    dt: float,
+    *,
+    joints: Optional[FixedJointSpec] = None,
+    contacts: Sequence[ContactSet] = (),
+    particle_spec: Optional[ParticleSpec] = None,
+    distance_groups: Sequence[DistanceGroup] = (),
+    attachments: Optional[BodyAttachment] = None,
+    particle_contacts: Sequence[ParticleSDFContact] = (),
+    iterations: int = 8,
+    max_velocity: float = 1e3,
+) -> SceneState:
+    """One physics substep (dt = sim.dt, called `decimation` times per
+    control step like RLTaskEnv)."""
+    bodies = state.bodies
+
+    # 1. integrate bodies --------------------------------------------------
+    lin_damp = jnp.exp(-body_spec.lin_damping * dt)
+    ang_damp = jnp.exp(-body_spec.ang_damping * dt)
+    v = (bodies.lin_vel + dt * GRAVITY * body_spec.gravity_scale[:, None]) * lin_damp[:, None]
+    w = bodies.ang_vel * ang_damp[:, None]
+    v = jnp.clip(v * body_spec.free_pos, -max_velocity, max_velocity)
+    w = w * body_spec.free_rot
+
+    prev_pos, prev_quat = bodies.pos, bodies.quat
+    pos = bodies.pos + dt * v
+    w_quat = jnp.concatenate([jnp.zeros_like(w[..., :1]), w], axis=-1)
+    quat = quat_normalize(bodies.quat + 0.5 * dt * quat_mul(w_quat, bodies.quat))
+
+    # particles
+    if particle_spec is not None and state.particles is not None:
+        parts = state.particles
+        pv = parts.vel + dt * GRAVITY * (particle_spec.inv_mass > 0)[..., None]
+        if particle_spec.lin_damping:
+            pv = pv * jnp.exp(-particle_spec.lin_damping * dt)
+        prev_x = parts.pos
+        x = parts.pos + dt * pv
+    else:
+        x = prev_x = None
+
+    # 2. position solve -----------------------------------------------------
+    def iteration(carry, _):
+        pos, quat, x = carry
+        if joints is not None:
+            pos, quat = _solve_fixed_joints(pos, quat, body_spec, joints)
+        for contact in contacts:
+            pos, quat = _solve_body_contacts(pos, quat, prev_pos, prev_quat, body_spec, contact)
+        if x is not None:
+            for group in distance_groups:
+                x = _solve_distance_group(x, particle_spec.inv_mass, group, dt)
+            if attachments is not None:
+                x, pos, quat = _solve_attachments(x, particle_spec.inv_mass, pos, quat, body_spec, attachments)
+            for pc in particle_contacts:
+                phi, n = pc.sdf(x)
+                pen = jnp.minimum(phi, 0.0)
+                dx_n = -pen[..., None] * n
+                # particle friction: remove tangential motion at contacts
+                disp = (x - prev_x) if prev_x is not None else jnp.zeros_like(x)
+                disp_t = disp - jnp.sum(disp * n, axis=-1, keepdims=True) * n
+                t_norm = jnp.linalg.norm(disp_t, axis=-1, keepdims=True)
+                scale = jnp.minimum(1.0, pc.friction * (-pen[..., None]) / jnp.maximum(t_norm, 1e-9))
+                active = (phi < 0.0).astype(x.dtype)[..., None]
+                x = x + active * (dx_n - scale * disp_t)
+        return (pos, quat, x), None
+
+    (pos, quat, x), _ = jax.lax.scan(iteration, (pos, quat, x), None, length=iterations)
+
+    # 3. velocity recovery ---------------------------------------------------
+    new_v = (pos - prev_pos) / dt * body_spec.free_pos
+    dq_vel = quat_mul(quat, quat_conjugate(prev_quat))
+    sign = jnp.sign(dq_vel[..., :1] + 1e-12)
+    new_w = 2.0 * dq_vel[..., 1:] * sign / dt * body_spec.free_rot
+
+    new_bodies = RigidBodyState(pos=pos, quat=quat, lin_vel=new_v, ang_vel=new_w)
+    if x is not None:
+        new_parts = ParticleState(pos=x, vel=(x - prev_x) / dt)
+    else:
+        new_parts = state.particles
+    return SceneState(bodies=new_bodies, particles=new_parts)
+
+
+def step_physics(state: SceneState, body_spec: RigidBodySpec, dt: float, decimation: int, **kwargs) -> SceneState:
+    """`decimation` substeps under one control action (RLTaskEnv semantics)."""
+    substep = partial(xpbd_substep, body_spec=body_spec, dt=dt, **kwargs)
+
+    def body(s, _):
+        return substep(s), None
+
+    out, _ = jax.lax.scan(body, state, None, length=decimation)
+    return out

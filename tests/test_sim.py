@@ -1,0 +1,337 @@
+"""XPBD simulator core tests: integration, joints, contacts, particles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geometry_rl_tpu.sim import (
+    BodyAttachment,
+    ContactSet,
+    DistanceGroup,
+    FixedJointSpec,
+    ParticleSDFContact,
+    ParticleSpec,
+    ParticleState,
+    RigidBodySpec,
+    RigidBodyState,
+    SceneState,
+    axis_mask_from_bits,
+    box_inertia,
+    step_physics,
+    xpbd_substep,
+)
+
+B = 2
+DT = 0.01
+
+
+def single_body_scene(pos=(0.0, 0.0, 1.0), mass=1.0, lin_damping=0.0, free_pos_bits=0, free_rot_bits=0):
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.tile(jnp.asarray(pos), (B, 1, 1)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)),
+            ang_vel=jnp.zeros((B, 1, 3)),
+        )
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.asarray([1.0 / mass]),
+        inv_inertia=jnp.asarray([1.0 / box_inertia(mass, (0.1, 0.1, 0.1))]),
+        gravity_scale=jnp.ones(1),
+        lin_damping=jnp.full((1,), lin_damping),
+        ang_damping=jnp.zeros(1),
+        free_pos=axis_mask_from_bits(free_pos_bits)[None],
+        free_rot=axis_mask_from_bits(free_rot_bits)[None],
+    )
+    return state, spec
+
+
+def ground_sdf(points):
+    phi = points[..., 2]
+    n = jnp.zeros_like(points).at[..., 2].set(1.0)
+    return phi, n
+
+
+def test_free_fall():
+    state, spec = single_body_scene()
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, iterations=1))
+    for _ in range(100):  # 1 second
+        state = step(state)
+    # semi-implicit Euler: z = 1 - g*dt^2*(1+2+...+100) = 1 - g*dt^2*5050
+    expected = 1.0 - 9.81 * DT * DT * 5050
+    np.testing.assert_allclose(state.bodies.pos[:, 0, 2], expected, atol=1e-3)
+    np.testing.assert_allclose(state.bodies.lin_vel[:, 0, 2], -9.81, atol=0.05)
+
+
+def test_damping_slows_velocity():
+    state, spec = single_body_scene(lin_damping=10.0)
+    state = state._replace(
+        bodies=state.bodies._replace(
+            lin_vel=jnp.tile(jnp.asarray([1.0, 0, 0]), (B, 1, 1)),
+            ang_vel=jnp.zeros((B, 1, 3)),
+        )
+    )
+    spec = spec._replace(gravity_scale=jnp.zeros(1))
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, iterations=1))
+    for _ in range(100):
+        state = step(state)
+    # v(t) = v0 * exp(-d*t) = exp(-10 * 1) ~ 4.5e-5
+    assert float(jnp.abs(state.bodies.lin_vel[:, 0, 0]).max()) < 1e-3
+
+
+def test_locked_z_never_falls():
+    state, spec = single_body_scene(free_pos_bits=4)  # lock z (bit 2)
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, iterations=1))
+    for _ in range(50):
+        state = step(state)
+    np.testing.assert_allclose(state.bodies.pos[:, 0, 2], 1.0, atol=1e-6)
+
+
+def test_ground_contact_rests():
+    state, spec = single_body_scene(pos=(0.0, 0.0, 0.3))
+    # cube of half-extent 0.05: contact points at the 4 bottom corners
+    corners = jnp.asarray(
+        [[-0.05, -0.05, -0.05], [0.05, -0.05, -0.05], [-0.05, 0.05, -0.05], [0.05, 0.05, -0.05]]
+    )
+    contact = ContactSet(body=0, local_points=corners, sdf=ground_sdf, friction=0.5)
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(contact,), iterations=4))
+    for _ in range(200):  # 2 s, plenty to fall 0.25 m and settle
+        state = step(state)
+    # resting height: CoM at 0.05 (corner on the ground)
+    np.testing.assert_allclose(state.bodies.pos[:, 0, 2], 0.05, atol=5e-3)
+    assert float(jnp.abs(state.bodies.lin_vel).max()) < 0.1
+
+
+def test_fixed_joint_holds_assembly():
+    """Two bodies welded 1m apart; driving body 0 drags body 1 along."""
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0, 1.0], [1.0, 0, 1.0]]), (B, 1, 1)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 2, 1)),
+            lin_vel=jnp.zeros((B, 2, 3)),
+            ang_vel=jnp.zeros((B, 2, 3)),
+        )
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.asarray([1.0 / 10.0, 1.0 / 0.1]),  # heavy gripper, light peg
+        inv_inertia=jnp.stack(
+            [1.0 / box_inertia(10.0, (0.1, 0.1, 0.1)), 1.0 / box_inertia(0.1, (0.1, 0.1, 0.1))]
+        ),
+        gravity_scale=jnp.zeros(2),
+        lin_damping=jnp.zeros(2),
+        ang_damping=jnp.zeros(2),
+        free_pos=jnp.ones((2, 3)),
+        # rotations locked, like the tasks' locked_rot_axis masks — the
+        # assembly must translate rigidly
+        free_rot=jnp.zeros((2, 3)),
+    )
+    joints = FixedJointSpec(
+        body_a=jnp.asarray([0]),
+        body_b=jnp.asarray([1]),
+        local_pos_a=jnp.asarray([[0.5, 0.0, 0.0]]),
+        local_pos_b=jnp.asarray([[-0.5, 0.0, 0.0]]),
+        rel_quat=jnp.asarray([[1.0, 0, 0, 0]]),
+    )
+
+    step = jax.jit(lambda s: step_physics(s, spec, DT, decimation=4, joints=joints, iterations=8))
+    # command +y velocity on body 0 each control step
+    for _ in range(20):
+        vel = state.bodies.lin_vel.at[:, 0].set(jnp.asarray([0.0, 1.0, 0.0]))
+        state = state._replace(bodies=state.bodies._replace(lin_vel=vel))
+        state = step(state)
+
+    # body 1 must have moved with body 0, keeping ~1m separation
+    sep = state.bodies.pos[:, 1] - state.bodies.pos[:, 0]
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(sep), axis=-1), 1.0, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(state.bodies.pos[:, 1, 1]), np.asarray(state.bodies.pos[:, 0, 1]), atol=0.05
+    )
+    assert float(state.bodies.pos[:, 1, 1].min()) > 0.5  # dragged along +y
+
+
+def test_fixed_joint_free_assembly_pendulum():
+    """With free rotations, driving the heavy body makes the light body trail
+    (assembly rotates about the combined CoM) while the weld keeps the anchor
+    coincident and the RELATIVE orientation fixed."""
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0, 1.0], [1.0, 0, 1.0]]), (B, 1, 1)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 2, 1)),
+            lin_vel=jnp.zeros((B, 2, 3)),
+            ang_vel=jnp.zeros((B, 2, 3)),
+        )
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.asarray([1.0 / 10.0, 1.0 / 0.1]),
+        inv_inertia=jnp.stack(
+            [1.0 / box_inertia(10.0, (0.1, 0.1, 0.1)), 1.0 / box_inertia(0.1, (0.1, 0.1, 0.1))]
+        ),
+        gravity_scale=jnp.zeros(2),
+        lin_damping=jnp.zeros(2),
+        ang_damping=jnp.zeros(2),
+        free_pos=jnp.ones((2, 3)),
+        free_rot=jnp.ones((2, 3)),
+    )
+    joints = FixedJointSpec(
+        body_a=jnp.asarray([0]),
+        body_b=jnp.asarray([1]),
+        local_pos_a=jnp.asarray([[0.5, 0.0, 0.0]]),
+        local_pos_b=jnp.asarray([[-0.5, 0.0, 0.0]]),
+        rel_quat=jnp.asarray([[1.0, 0, 0, 0]]),
+    )
+    step = jax.jit(lambda s: step_physics(s, spec, DT, decimation=4, joints=joints, iterations=8))
+    for _ in range(20):
+        vel = state.bodies.lin_vel.at[:, 0].set(jnp.asarray([0.0, 1.0, 0.0]))
+        state = state._replace(bodies=state.bodies._replace(lin_vel=vel))
+        state = step(state)
+
+    sep = np.linalg.norm(np.asarray(state.bodies.pos[:, 1] - state.bodies.pos[:, 0]), axis=-1)
+    np.testing.assert_allclose(sep, 1.0, atol=0.02)
+    # relative orientation still identity (weld)
+    from geometry_rl_tpu.utils.math import quat_error_magnitude
+
+    err = quat_error_magnitude(state.bodies.quat[:, 0], state.bodies.quat[:, 1])
+    assert float(err.max()) < 0.05
+
+
+def test_fixed_joint_orientation_weld():
+    """Rotating the driver rotates the attached body's orientation too."""
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0, 1.0], [1.0, 0, 1.0]]), (B, 1, 1)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 2, 1)),
+            lin_vel=jnp.zeros((B, 2, 3)),
+            ang_vel=jnp.zeros((B, 2, 3)),
+        )
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.asarray([0.0, 1.0 / 0.1]),  # kinematic driver
+        inv_inertia=jnp.stack([jnp.zeros(3), 1.0 / box_inertia(0.1, (0.1, 0.1, 0.1))]),
+        gravity_scale=jnp.zeros(2),
+        lin_damping=jnp.zeros(2),
+        ang_damping=jnp.zeros(2),
+        free_pos=jnp.ones((2, 3)),
+        free_rot=jnp.ones((2, 3)),
+    )
+    joints = FixedJointSpec(
+        body_a=jnp.asarray([0]),
+        body_b=jnp.asarray([1]),
+        local_pos_a=jnp.asarray([[0.5, 0.0, 0.0]]),
+        local_pos_b=jnp.asarray([[-0.5, 0.0, 0.0]]),
+        rel_quat=jnp.asarray([[1.0, 0, 0, 0]]),
+    )
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, joints=joints, iterations=8))
+    # spin driver about z
+    for _ in range(50):
+        w = state.bodies.ang_vel.at[:, 0].set(jnp.asarray([0.0, 0.0, 1.0]))
+        state = state._replace(bodies=state.bodies._replace(ang_vel=w))
+        state = step(state)
+
+    # after 0.5s at 1 rad/s the assembly rotated ~0.5 rad: body 1 should be at
+    # angle ~0.5 on the unit circle around body 0
+    rel = np.asarray(state.bodies.pos[0, 1] - state.bodies.pos[0, 0])
+    ang = np.arctan2(rel[1], rel[0])
+    assert 0.3 < ang < 0.7, ang
+    # orientation of body 1 follows (yaw ~ ang)
+    q1 = np.asarray(state.bodies.quat[0, 1])
+    yaw = 2 * np.arctan2(q1[3], q1[0])
+    assert abs(yaw - ang) < 0.1
+
+
+def test_particle_chain_and_attachment():
+    """3-particle chain pinned to a kinematic body; driving the body drags the
+    chain while segment lengths hold."""
+    n_p = 3
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (B, 1, 1)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)),
+            ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=ParticleState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0, 1.0], [0.0, 0, 0.8], [0.0, 0, 0.6]]), (B, 1, 1)),
+            vel=jnp.zeros((B, n_p, 3)),
+        ),
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1),
+        inv_inertia=jnp.zeros((1, 3)),
+        gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1),
+        ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)),
+        free_rot=jnp.ones((1, 3)),
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.ones(n_p), lin_damping=1.0)
+    groups = [
+        DistanceGroup(
+            i=jnp.asarray([0]), j=jnp.asarray([1]), rest=jnp.asarray([0.2]), compliance=jnp.zeros(1)
+        ),
+        DistanceGroup(
+            i=jnp.asarray([1]), j=jnp.asarray([2]), rest=jnp.asarray([0.2]), compliance=jnp.zeros(1)
+        ),
+    ]
+    att = BodyAttachment(
+        particle=jnp.asarray([0]), body=jnp.asarray([0]), local_pos=jnp.asarray([[0.0, 0.0, 0.0]])
+    )
+
+    step = jax.jit(
+        lambda s: xpbd_substep(
+            s, spec, DT, particle_spec=p_spec, distance_groups=tuple(groups), attachments=att, iterations=8
+        )
+    )
+    for _ in range(100):
+        vel = state.bodies.lin_vel.at[:, 0].set(jnp.asarray([0.5, 0.0, 0.0]))
+        state = state._replace(bodies=state.bodies._replace(lin_vel=vel))
+        state = step(state)
+
+    # pinned particle tracks the body
+    np.testing.assert_allclose(
+        np.asarray(state.particles.pos[:, 0]), np.asarray(state.bodies.pos[:, 0]), atol=0.01
+    )
+    # segment lengths preserved
+    d01 = np.linalg.norm(np.asarray(state.particles.pos[:, 0] - state.particles.pos[:, 1]), axis=-1)
+    d12 = np.linalg.norm(np.asarray(state.particles.pos[:, 1] - state.particles.pos[:, 2]), axis=-1)
+    np.testing.assert_allclose(d01, 0.2, atol=0.02)
+    np.testing.assert_allclose(d12, 0.2, atol=0.02)
+    # chain was dragged +x
+    assert float(state.particles.pos[:, 2, 0].min()) > 0.1
+
+
+def test_particle_ground_contact():
+    n_p = 2
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.zeros((B, 1, 3)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)),
+            ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=ParticleState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0, 0.5], [0.3, 0, 0.4]]), (B, 1, 1)),
+            vel=jnp.zeros((B, n_p, 3)),
+        ),
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1),
+        inv_inertia=jnp.zeros((1, 3)),
+        gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1),
+        ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)),
+        free_rot=jnp.ones((1, 3)),
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.ones(n_p))
+    pc = ParticleSDFContact(sdf=ground_sdf, friction=0.3)
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, particle_spec=p_spec, particle_contacts=(pc,), iterations=2))
+    for _ in range(150):
+        state = step(state)
+    assert float(state.particles.pos[..., 2].min()) > -1e-3
+    assert float(jnp.abs(state.particles.vel).max()) < 0.2
+
+
+def test_step_physics_jit_compiles():
+    state, spec = single_body_scene()
+    stepped = jax.jit(lambda s: step_physics(s, spec, DT, decimation=4, iterations=2))(state)
+    assert np.isfinite(np.asarray(stepped.bodies.pos)).all()
