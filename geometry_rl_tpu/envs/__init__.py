@@ -1,0 +1,18 @@
+from .base import ObsSpec, TimeStep  # noqa: F401
+from .rigid import (  # noqa: F401
+    TASK_REGISTRY,
+    RigidEnv,
+    RigidEnvState,
+    RigidTaskCfg,
+    rigid_insertion_cfg,
+    rigid_insertion_two_agents_cfg,
+    rigid_pushing_cfg,
+    rigid_sliding_cfg,
+)
+
+
+def make_env(task: str, num_envs: int = 40, **kwargs):
+    """Env factory keyed by task name (the gym-ID equivalents)."""
+    if task in TASK_REGISTRY:
+        return RigidEnv(TASK_REGISTRY[task](num_envs=num_envs, **kwargs))
+    raise ValueError(f"Unknown task {task!r}; available: {sorted(TASK_REGISTRY)}")

@@ -88,6 +88,35 @@ def _triangle() -> np.ndarray:
     return _regular_polygon(3, radius=1.0, phase=np.pi / 2)
 
 
+def _letter_a(w: float = 0.8, t: float = 0.35) -> np.ndarray:
+    # simplified solid "A" silhouette (triangle with flat feet), no counter
+    return np.array(
+        [
+            (w, -1.0), (w - t, -1.0), (0.35, 0.2), (-0.35, 0.2),
+            (-(w - t), -1.0), (-w, -1.0), (-0.25, 1.0), (0.25, 1.0),
+        ]
+    )
+
+
+def _letter_e(w: float = 0.7, t: float = 0.3) -> np.ndarray:
+    # solid "E" outline
+    return np.array(
+        [
+            (w, 1.0), (-w, 1.0), (-w, -1.0), (w, -1.0), (w, -1.0 + t),
+            (-w + t, -1.0 + t), (-w + t, -t / 2), (w * 0.7, -t / 2),
+            (w * 0.7, t / 2), (-w + t, t / 2), (-w + t, 1.0 - t), (w, 1.0 - t),
+        ]
+    )[::-1].copy()
+
+
+def _letter_l(w: float = 0.9, t: float = 0.4) -> np.ndarray:
+    # "L" silhouette — the sliding/pushing default object (L_3.usda,
+    # rigid_tasks/config/common_cfg/scene_cfg.py:27-50)
+    return np.array(
+        [(-w, 1.0), (-w, -1.0), (w, -1.0), (w, -1.0 + t), (-w + t, -1.0 + t), (-w + t, 1.0)]
+    )[::-1].copy()
+
+
 SHAPE_OUTLINES: Dict[str, np.ndarray] = {
     name: _ensure_ccw(outline)
     for name, outline in {
@@ -99,8 +128,15 @@ SHAPE_OUTLINES: Dict[str, np.ndarray] = {
         "heart": _heart(),
         "hexagon": _regular_polygon(6),
         "triangle": _triangle(),
+        # extra shapes: pushing uses 10 (adds A, E —
+        # rigid_pushing_multi_env_cfg.py:22-43); sliding uses the L object
+        "A": _letter_a(),
+        "E": _letter_e(),
+        "L": _letter_l(),
     }.items()
 }
+
+PUSHING_SHAPE_NAMES = ("plus", "pentagon", "star", "T", "A", "E", "diamond", "heart", "hexagon", "triangle")
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,26 @@ class ContactSet:
 
 
 @dataclasses.dataclass(frozen=True)
+class BodyPairContact:
+    """Two-body contact: sample points on `body_points` against the local-frame
+    SDF of `body_sdf` (e.g. pushing-gripper stick vs peg prism —
+    rigid_pushing has NO attachment, the stick really pushes the object).
+    Impulses are applied to both bodies."""
+
+    body_points: int
+    body_sdf: int
+    local_points: jnp.ndarray  # [P, 3] or [B, P, 3]
+    sdf: SDFFn  # local frame of body_sdf
+    friction: float = 0.5
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@dataclasses.dataclass(frozen=True)
 class ParticleSDFContact:
     """All particles vs one SDF (cloth/rope vs ground etc.)."""
 
@@ -251,6 +271,52 @@ def _solve_body_contacts(pos, quat, prev_pos, prev_quat, spec, contact: ContactS
     return pos.at[:, b].set(new_p), quat.at[:, b].set(new_q)
 
 
+def _solve_body_pair_contact(pos, quat, spec, contact: BodyPairContact):
+    """One pass of two-body point-vs-SDF contact (normal only + tangential
+    damping is left to velocity recovery)."""
+    bi, bj = contact.body_points, contact.body_sdf
+    lp = contact.local_points
+    if lp.ndim == 2:
+        lp = jnp.broadcast_to(lp[None], (pos.shape[0],) + lp.shape)
+
+    p_i, q_i = pos[:, bi], quat[:, bi]
+    p_j, q_j = pos[:, bj], quat[:, bj]
+    r_i = quat_apply(q_i[:, None, :], lp)  # [B,P,3]
+    world_pts = p_i[:, None, :] + r_i
+
+    # into body_j local frame
+    local_j = quat_apply(quat_conjugate(q_j)[:, None, :], world_pts - p_j[:, None, :])
+    phi, n_local = contact.sdf(local_j)
+    n = quat_apply(q_j[:, None, :], n_local)  # world-frame normal
+    pen = jnp.minimum(phi, 0.0)
+    active = (phi < 0.0).astype(pos.dtype)
+
+    r_j = world_pts - p_j[:, None, :]
+    im_i, ii_i = spec.inv_mass[bi], spec.inv_inertia[bi]
+    im_j, ii_j = spec.inv_mass[bj], spec.inv_inertia[bj]
+    w_i = _generalized_inv_mass(q_i[:, None, :], im_i, ii_i, r_i, n)
+    w_j = _generalized_inv_mass(q_j[:, None, :], im_j, ii_j, r_j, n)
+    lam = -pen / jnp.maximum(w_i + w_j, 1e-12) * active
+    p_imp = lam[..., None] * n  # pushes body_i OUT along +n
+
+    # body_i update
+    tp = p_imp.sum(axis=1)
+    ta = jnp.cross(r_i, p_imp).sum(axis=1)
+    new_pi = p_i + tp * im_i * spec.free_pos[bi]
+    dwi = _inv_inertia_world(q_i, ii_i, ta) * spec.free_rot[bi]
+    new_qi = quat_normalize(q_i + 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dwi[..., :1]), dwi], -1), q_i))
+    # body_j update (opposite impulse)
+    tpj = (-p_imp).sum(axis=1)
+    taj = jnp.cross(r_j, -p_imp).sum(axis=1)
+    new_pj = p_j + tpj * im_j * spec.free_pos[bj]
+    dwj = _inv_inertia_world(q_j, ii_j, taj) * spec.free_rot[bj]
+    new_qj = quat_normalize(q_j + 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dwj[..., :1]), dwj], -1), q_j))
+
+    pos = pos.at[:, bi].set(new_pi).at[:, bj].set(new_pj)
+    quat = quat.at[:, bi].set(new_qi).at[:, bj].set(new_qj)
+    return pos, quat
+
+
 def _solve_distance_group(x, inv_mass, group: DistanceGroup, dt):
     """Parallel distance-constraint solve for one conflict-free group."""
     xi, xj = x[:, group.i], x[:, group.j]  # [B, C, 3]
@@ -320,6 +386,7 @@ def xpbd_substep(
     *,
     joints: Optional[FixedJointSpec] = None,
     contacts: Sequence[ContactSet] = (),
+    pair_contacts: Sequence[BodyPairContact] = (),
     particle_spec: Optional[ParticleSpec] = None,
     distance_groups: Sequence[DistanceGroup] = (),
     attachments: Optional[BodyAttachment] = None,
@@ -362,6 +429,8 @@ def xpbd_substep(
             pos, quat = _solve_fixed_joints(pos, quat, body_spec, joints)
         for contact in contacts:
             pos, quat = _solve_body_contacts(pos, quat, prev_pos, prev_quat, body_spec, contact)
+        for contact in pair_contacts:
+            pos, quat = _solve_body_pair_contact(pos, quat, body_spec, contact)
         if x is not None:
             for group in distance_groups:
                 x = _solve_distance_group(x, particle_spec.inv_mass, group, dt)

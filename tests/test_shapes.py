@@ -15,8 +15,10 @@ from geometry_rl_tpu.sim.shapes import (
 
 
 def test_all_shapes_present():
-    assert set(SHAPE_NAMES) == set(SHAPE_OUTLINES.keys())
+    assert set(SHAPE_NAMES) <= set(SHAPE_OUTLINES.keys())
     assert len(SHAPE_NAMES) == 8
+    for extra in ("A", "E", "L"):  # pushing/sliding extras
+        assert extra in SHAPE_OUTLINES
 
 
 def test_outlines_are_closed_and_nondegenerate():
