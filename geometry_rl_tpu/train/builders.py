@@ -1,0 +1,93 @@
+"""Agent builders — the facade assembling env + models + loss for a task.
+
+Replaces `examples/torchrl/builders/` (AgentBuilder, make_ppo_models,
+utils_algo_graph): given a task name + model name + algo settings, build the
+env, graph builders, policy/critic modules, projection, and Trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..envs import make_env
+from ..graphs.rigid import RigidGraphBuilder
+from ..models import DeepSets, DiagGaussianPolicy, GraphValueNet, get_model
+from ..rl.projections import get_projection_layer
+from .ppo import TrainConfig, Trainer
+
+# models whose equivariant vector output IS the action mean (post_fc=False,
+# configs/*_hepi/empn_*.yaml policy.post_fc)
+EQUIVARIANT_MODELS = ("hepi", "ponita_gcn", "empn")
+
+
+def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, **model_kw):
+    """Policy module for a task (utils_algo_graph._make_probabilistic_actor)."""
+    cfg = env.cfg
+    equivariant = model_name.lower() in EQUIVARIANT_MODELS
+    action_per_gripper = cfg.action_dim // cfg.num_grippers
+    if equivariant:
+        out_vec = action_per_gripper // 3  # 2 (6D) or 1 (3D linear)
+        backbone = get_model(
+            model_name,
+            latent_dim=latent_dim,
+            hidden_dim=latent_dim,
+            output_dim=out_vec,
+            output_dim_vec=out_vec,
+            num_ori=num_ori,
+            **model_kw,
+        )
+        post_fc = False
+    else:
+        backbone = get_model(model_name, hidden_dim=latent_dim, output_dim=latent_dim, **model_kw)
+        post_fc = True
+    return DiagGaussianPolicy(
+        backbone=backbone,
+        action_dim=cfg.action_dim,
+        num_actuators=cfg.num_grippers,
+        share_action_dim=True,
+        contextual_std=True,
+        post_fc=post_fc,
+    )
+
+
+def build_critic(latent_dim: int = 64):
+    """DeepSets critic, the configuration every reference config uses
+    (configs/*:23 value model override -> deepsets + GNNVFNet final layer)."""
+    return GraphValueNet(backbone=DeepSets(hidden_dim=latent_dim, output_dim=latent_dim))
+
+
+def build_agent(
+    task: str = "rigid_insertion",
+    model: str = "hepi",
+    num_envs: int = 40,
+    algo: str = "trpl",
+    latent_dim: int = 64,
+    num_ori: int = 16,
+    mean_bound: float = 0.05,
+    cov_bound: float = 0.0025,
+    trust_region_coeff: float = 1.0,
+    proj_type: str = "kl",
+    train_cfg: Optional[TrainConfig] = None,
+    env_kwargs: Optional[dict] = None,
+    **model_kw,
+) -> Trainer:
+    """AgentBuilder.build equivalent: one call -> ready Trainer."""
+    env = make_env(task, num_envs=num_envs, **(env_kwargs or {}))
+    policy = build_policy(model, env, latent_dim=latent_dim, num_ori=num_ori, **model_kw)
+    critic = build_critic(latent_dim=latent_dim)
+    projection = get_projection_layer(
+        proj_type if algo == "trpl" else "ppo",
+        mean_bound=mean_bound,
+        cov_bound=cov_bound,
+        trust_region_coeff=trust_region_coeff,
+    )
+    cfg = train_cfg or TrainConfig(algo=algo)
+    return Trainer(
+        env,
+        policy,
+        critic,
+        cfg,
+        projection=projection,
+        policy_builder=RigidGraphBuilder.from_env(env, dist_as_pos=True),
+        critic_builder=RigidGraphBuilder.from_env(env, dist_as_pos=False),
+    )

@@ -1,0 +1,382 @@
+"""On-device TRPL / PPO trainer — collect, GAE, and update in one jit.
+
+TPU redesign of `examples/torchrl/train.py` + the SyncDataCollector: the
+reference stepped the sim and policy in Python, stored batches on CPU
+(`storing_device="cpu"`, train.py:120), and round-tripped dist params through
+a C++ projection per minibatch. Here one `train_iteration` is a single XLA
+program: `lax.scan` rollout over T control steps -> GAE -> ppo_epochs x
+minibatch scans, with the KL projection fused into the loss. Nothing leaves
+the device; host code only reads scalar metrics.
+
+Layout notes (TPU): batch axes [T, B] -> flattened [T*B] for the update;
+graph rebuilds per minibatch gather per-env static topology by env id (the
+reference also rebuilds the PyG graph per minibatch — trpl call stack §3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..graphs.rigid import RigidGraphBuilder
+from ..rl import gaussian as G
+from ..rl.gae import gae
+from ..rl.losses import LossInputs, ppo_clip_loss, trpl_loss
+from ..rl.obs_pipeline import ObsNormState, obs_norm_apply, obs_norm_init, obs_norm_step
+from ..rl.projections import BaseProjection
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors configs/algorithm/{trpl,ppo}.yaml + objective/optim groups."""
+
+    algo: str = "trpl"  # trpl | ppo
+    steps_per_batch: int = 100  # control steps per env per iteration
+    ppo_epochs: int = 5
+    mini_batch_size: int = 1000
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    lr: float = 3e-4
+    anneal_lr: bool = False
+    total_iterations: int = 200  # for annealing schedules
+    clip_epsilon: float = 0.2
+    anneal_clip_epsilon: bool = False
+    entropy_coef: float = 0.005
+    critic_coef: float = 0.5
+    clip_value: float = 0.2
+    loss_critic_type: str = "l2"
+    normalize_advantage: bool = True
+    entropy_bonus: bool = True
+    max_grad_norm: float = 1.0
+    clip_grad_norm: bool = False
+
+
+class TrainState(NamedTuple):
+    actor_params: Any
+    critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    norm: ObsNormState
+    env_state: Any
+    obs: Dict[str, jnp.ndarray]  # raw obs of the current env state
+    key: jax.Array
+    num_updates: jnp.ndarray  # network update counter (annealing + proj step)
+
+
+class Batch(NamedTuple):
+    tobs: Dict[str, jnp.ndarray]  # transformed obs groups [T, B, D]
+    action: jnp.ndarray  # [T, B, A]
+    log_prob: jnp.ndarray  # [T, B]
+    mean: jnp.ndarray  # [T, B, A] behavior dist
+    std: jnp.ndarray  # [T, B, A]
+    value: jnp.ndarray  # [T, B]
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+class Trainer:
+    """Wires env + graph builders + models + loss into jitted train steps."""
+
+    def __init__(
+        self,
+        env,
+        policy,  # flax module: (graph, feats) -> DiagGaussian
+        critic,  # flax module: (graph, feats) -> [B]
+        cfg: TrainConfig,
+        projection: Optional[BaseProjection] = None,
+        policy_builder: Optional[RigidGraphBuilder] = None,
+        critic_builder: Optional[RigidGraphBuilder] = None,
+    ):
+        self.env = env
+        self.policy = policy
+        self.critic = critic
+        self.cfg = cfg
+        self.projection = projection
+        self.policy_builder = policy_builder or RigidGraphBuilder.from_env(env, dist_as_pos=True)
+        self.critic_builder = critic_builder or RigidGraphBuilder.from_env(env, dist_as_pos=False)
+
+        B = env.cfg.num_envs
+        n_samples = cfg.steps_per_batch * B
+        self.num_minibatches = max(1, n_samples // cfg.mini_batch_size)
+        self.mini_batch_size = min(cfg.mini_batch_size, n_samples)
+        self.total_network_updates = cfg.total_iterations * cfg.ppo_epochs * self.num_minibatches
+
+        sched: Callable[[jnp.ndarray], jnp.ndarray]
+        if cfg.anneal_lr:
+            sched = optax.linear_schedule(cfg.lr, 0.0, self.total_network_updates)
+        else:
+            sched = cfg.lr
+        def make_opt():
+            tx = optax.adam(sched, eps=1e-5)
+            if cfg.clip_grad_norm:
+                tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+            return tx
+
+        self.actor_tx = make_opt()
+        self.critic_tx = make_opt()
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, key: jax.Array) -> TrainState:
+        env = self.env
+        k_env, k_actor, k_critic, k_rest = jax.random.split(key, 4)
+        env_state = env.reset(k_env)
+        obs = env.observe(env_state)
+
+        norm = obs_norm_init(env.obs_spec.group_dim("scalars"))
+        tobs = obs_norm_apply(norm, obs)
+
+        g_p, f_p = self.policy_builder.build(tobs)
+        actor_params = self.policy.init(k_actor, g_p, f_p)
+        g_c, f_c = self.critic_builder.build(tobs)
+        critic_params = self.critic.init(k_critic, g_c, f_c)
+
+        return TrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            norm=norm,
+            env_state=env_state,
+            obs=obs,
+            key=k_rest,
+            num_updates=jnp.zeros((), jnp.int32),
+        )
+
+    # --------------------------------------------------------------- forward
+
+    def _policy_dist(self, params, tobs, env_ids=None) -> G.DiagGaussian:
+        graph, feats = self.policy_builder.build(tobs, env_ids)
+        return self.policy.apply(params, graph, feats)
+
+    def _value(self, params, tobs, env_ids=None) -> jnp.ndarray:
+        graph, feats = self.critic_builder.build(tobs, env_ids)
+        return self.critic.apply(params, graph, feats)
+
+    # --------------------------------------------------------------- collect
+
+    def _collect(self, state: TrainState) -> Tuple[TrainState, Batch, Dict[str, jnp.ndarray]]:
+        env = self.env
+        B = env.cfg.num_envs
+
+        def step_fn(carry, _):
+            env_state, obs, norm, key, cum_rew, ep_sum, ep_cnt = carry
+            key, k_act = jax.random.split(key)
+
+            norm, tobs = obs_norm_step(norm, obs, update=True)
+            dist = self._policy_dist(state.actor_params, tobs)
+            action = G.sample(k_act, dist)
+            log_prob = G.log_prob(dist, action)
+            value = self._value(state.critic_params, tobs)
+
+            env_state, ts = env.step(env_state, action)
+
+            cum_rew = cum_rew + ts.reward
+            ep_sum = ep_sum + jnp.where(ts.done, cum_rew, 0.0).sum()
+            ep_cnt = ep_cnt + ts.done.sum()
+            cum_rew = jnp.where(ts.done, 0.0, cum_rew)
+
+            out = Batch(
+                tobs=tobs,
+                action=action,
+                log_prob=log_prob,
+                mean=dist.mean,
+                std=dist.std,
+                value=value,
+                reward=ts.reward,
+                done=ts.done,
+            )
+            return (env_state, ts.obs, norm, key, cum_rew, ep_sum, ep_cnt), out
+
+        carry0 = (
+            state.env_state,
+            state.obs,
+            state.norm,
+            state.key,
+            jnp.zeros((B,)),
+            jnp.zeros(()),
+            jnp.zeros((), jnp.int32),
+        )
+        (env_state, obs, norm, key, _, ep_sum, ep_cnt), batch = jax.lax.scan(
+            step_fn, carry0, None, length=self.cfg.steps_per_batch
+        )
+        new_state = state._replace(env_state=env_state, obs=obs, norm=norm, key=key)
+        stats = {
+            "train/reward": jnp.where(ep_cnt > 0, ep_sum / jnp.maximum(ep_cnt, 1), jnp.nan),
+            "train/episodes": ep_cnt.astype(jnp.float32),
+        }
+        return new_state, batch, stats
+
+    # ---------------------------------------------------------------- update
+
+    def _minibatch_loss(self, actor_params, critic_params, mb, num_updates):
+        cfg = self.cfg
+        dist = self._policy_dist(actor_params, mb["tobs"], mb["env_ids"])
+        value = self._value(critic_params, mb["tobs"], mb["env_ids"])
+        inputs = LossInputs(
+            action=mb["action"],
+            sample_log_prob=mb["log_prob"],
+            advantage=mb["advantage"],
+            value_target=mb["value_target"],
+            old_value=mb["value"],
+        )
+        if cfg.algo == "trpl":
+            old_dist = G.DiagGaussian(mb["mean"], mb["std"])
+            actor_loss, critic_loss, metrics = trpl_loss(
+                dist,
+                old_dist,
+                value,
+                inputs,
+                self.projection,
+                step=num_updates,
+                entropy_coef=cfg.entropy_coef,
+                critic_coef=cfg.critic_coef,
+                clip_value=cfg.clip_value,
+                loss_critic_type=cfg.loss_critic_type,
+                normalize_advantage=cfg.normalize_advantage,
+                entropy_bonus=cfg.entropy_bonus,
+            )
+        else:
+            clip_eps = cfg.clip_epsilon
+            if cfg.anneal_clip_epsilon:
+                frac = 1.0 - num_updates / self.total_network_updates
+                clip_eps = cfg.clip_epsilon * frac
+            actor_loss, critic_loss, metrics = ppo_clip_loss(
+                dist,
+                value,
+                inputs,
+                clip_epsilon=clip_eps,
+                entropy_coef=cfg.entropy_coef,
+                critic_coef=cfg.critic_coef,
+                clip_value=cfg.clip_value,
+                loss_critic_type=cfg.loss_critic_type,
+                normalize_advantage=cfg.normalize_advantage,
+                entropy_bonus=cfg.entropy_bonus,
+            )
+        return actor_loss + critic_loss, metrics
+
+    def _update(self, state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        env = self.env
+        B = env.cfg.num_envs
+        T = cfg.steps_per_batch
+
+        # GAE (train.py adv_module; bootstrap with the current critic on the
+        # post-rollout observation)
+        _, final_tobs = obs_norm_step(state.norm, state.obs, update=False)
+        bootstrap = self._value(state.critic_params, final_tobs)
+        advantage, value_target = gae(
+            batch.reward, batch.value, batch.done.astype(jnp.float32), bootstrap, cfg.gamma, cfg.gae_lambda
+        )
+
+        # flatten [T, B] -> [N]
+        def flat(x):
+            return x.reshape((T * B,) + x.shape[2:])
+
+        data = {
+            "tobs": jax.tree_util.tree_map(flat, batch.tobs),
+            "action": flat(batch.action),
+            "log_prob": flat(batch.log_prob),
+            "mean": flat(batch.mean),
+            "std": flat(batch.std),
+            "value": flat(batch.value),
+            "advantage": flat(advantage),
+            "value_target": flat(value_target),
+            "env_ids": jnp.tile(jnp.arange(B, dtype=jnp.int32), T),
+        }
+        N = T * B
+        n_mb = self.num_minibatches
+        mb_size = self.mini_batch_size
+
+        grad_fn = jax.grad(self._minibatch_loss, argnums=(0, 1), has_aux=True)
+
+        def epoch_fn(carry, _):
+            actor_params, critic_params, actor_opt, critic_opt, key, num_updates = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, N)[: n_mb * mb_size].reshape(n_mb, mb_size)
+
+            def mb_fn(carry, idx):
+                actor_params, critic_params, actor_opt, critic_opt, num_updates = carry
+                mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+                (g_actor, g_critic), metrics = grad_fn(actor_params, critic_params, mb, num_updates)
+                a_up, actor_opt = self.actor_tx.update(g_actor, actor_opt, actor_params)
+                c_up, critic_opt = self.critic_tx.update(g_critic, critic_opt, critic_params)
+                actor_params = optax.apply_updates(actor_params, a_up)
+                critic_params = optax.apply_updates(critic_params, c_up)
+                return (actor_params, critic_params, actor_opt, critic_opt, num_updates + 1), metrics
+
+            (actor_params, critic_params, actor_opt, critic_opt, num_updates), metrics = jax.lax.scan(
+                mb_fn, (actor_params, critic_params, actor_opt, critic_opt, num_updates), perm
+            )
+            return (actor_params, critic_params, actor_opt, critic_opt, key, num_updates), metrics
+
+        carry0 = (
+            state.actor_params,
+            state.critic_params,
+            state.actor_opt,
+            state.critic_opt,
+            state.key,
+            state.num_updates,
+        )
+        (actor_params, critic_params, actor_opt, critic_opt, key, num_updates), metrics = jax.lax.scan(
+            epoch_fn, carry0, None, length=cfg.ppo_epochs
+        )
+        metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
+        # explained variance (train.py:325)
+        var_y = jnp.var(data["value_target"])
+        metrics["train/explained_variance"] = 1.0 - jnp.var(data["value_target"] - data["value"]) / jnp.maximum(
+            var_y, 1e-8
+        )
+        new_state = state._replace(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+            key=key,
+            num_updates=num_updates,
+        )
+        return new_state, metrics
+
+    # -------------------------------------------------------------- full step
+
+    @partial(jax.jit, static_argnums=0)
+    def train_iteration(self, state: TrainState) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        state, batch, collect_stats = self._collect(state)
+        state, metrics = self._update(state, batch)
+        metrics.update(collect_stats)
+        return state, metrics
+
+    # ------------------------------------------------------------------ eval
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def eval_rollout(self, state: TrainState, n_steps: int, deterministic: bool = True):
+        """Deterministic (mode) rollout returning mean episode reward
+        (AgentBuilder.eval_model equivalent, agent.py:87-101)."""
+        env = self.env
+        B = env.cfg.num_envs
+
+        def step_fn(carry, _):
+            env_state, obs, key, cum, ep_sum, ep_cnt = carry
+            key, k = jax.random.split(key)
+            _, tobs = obs_norm_step(state.norm, obs, update=False)
+            dist = self._policy_dist(state.actor_params, tobs)
+            action = dist.mean if deterministic else G.sample(k, dist)
+            env_state, ts = env.step(env_state, action)
+            cum = cum + ts.reward
+            ep_sum = ep_sum + jnp.where(ts.done, cum, 0.0).sum()
+            ep_cnt = ep_cnt + ts.done.sum()
+            cum = jnp.where(ts.done, 0.0, cum)
+            return (env_state, ts.obs, key, cum, ep_sum, ep_cnt), None
+
+        key = jax.random.fold_in(state.key, 7)
+        env_state = env.reset(key)
+        obs = env.observe(env_state)
+        carry = (env_state, obs, key, jnp.zeros((B,)), jnp.zeros(()), jnp.zeros((), jnp.int32))
+        carry, _ = jax.lax.scan(step_fn, carry, None, length=n_steps)
+        ep_sum, ep_cnt = carry[4], carry[5]
+        return ep_sum / jnp.maximum(ep_cnt, 1)

@@ -1,0 +1,88 @@
+"""End-to-end trainer tests: the minimum slice (rigid_insertion + HEPi + TRPL)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometry_rl_tpu.train import TrainConfig
+from geometry_rl_tpu.train.builders import build_agent
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return build_agent(
+        task="rigid_insertion",
+        model="hepi",
+        num_envs=4,
+        algo="trpl",
+        latent_dim=16,
+        num_ori=4,
+        train_cfg=TrainConfig(algo="trpl", steps_per_batch=8, ppo_epochs=2, mini_batch_size=16),
+        env_kwargs={"warmup_steps": 0, "episode_length": 8},
+    )
+
+
+def test_init(trainer):
+    state = trainer.init(jax.random.PRNGKey(0))
+    assert state.num_updates == 0
+    leaves = jax.tree_util.tree_leaves(state.actor_params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_train_iteration_runs(trainer):
+    state = trainer.init(jax.random.PRNGKey(0))
+    state, metrics = trainer.train_iteration(state)
+    for k, v in metrics.items():
+        if k == "train/reward":
+            continue  # NaN when no episode finished
+        assert np.isfinite(float(v)), (k, float(v))
+    assert int(state.num_updates) == 2 * trainer.num_minibatches
+    # TRPL constraint metrics present and within bounds vs the projection
+    assert float(metrics["mean_constraint"]) <= 0.05 * 1.1
+    assert "loss_trust_region" in metrics
+
+
+def test_train_changes_params(trainer):
+    state = trainer.init(jax.random.PRNGKey(1))
+    p0 = jax.tree_util.tree_leaves(state.actor_params)
+    state, _ = trainer.train_iteration(state)
+    p1 = jax.tree_util.tree_leaves(state.actor_params)
+    diffs = [float(jnp.abs(a - b).max()) for a, b in zip(p0, p1)]
+    assert max(diffs) > 0
+
+
+def test_norm_stats_update(trainer):
+    state = trainer.init(jax.random.PRNGKey(2))
+    assert float(state.norm.position.count) == 0
+    state, _ = trainer.train_iteration(state)
+    assert float(state.norm.position.count) > 0
+
+
+def test_episode_reward_logged(trainer):
+    state = trainer.init(jax.random.PRNGKey(3))
+    state, metrics = trainer.train_iteration(state)  # episode_length=8 = steps_per_batch
+    assert float(metrics["train/episodes"]) > 0
+    assert np.isfinite(float(metrics["train/reward"]))
+
+
+def test_eval_rollout(trainer):
+    state = trainer.init(jax.random.PRNGKey(4))
+    ret = trainer.eval_rollout(state, n_steps=16)
+    assert np.isfinite(float(ret))
+
+
+def test_ppo_algo_variant():
+    t = build_agent(
+        task="rigid_pushing",
+        model="transformer",
+        num_envs=4,
+        algo="ppo",
+        latent_dim=16,
+        train_cfg=TrainConfig(algo="ppo", steps_per_batch=4, ppo_epochs=1, mini_batch_size=8),
+        env_kwargs={"episode_length": 8},
+    )
+    state = t.init(jax.random.PRNGKey(0))
+    state, metrics = t.train_iteration(state)
+    assert "clip_fraction" in metrics
+    assert np.isfinite(float(metrics["loss_objective"]))
