@@ -9,10 +9,18 @@ from .rigid import (  # noqa: F401
     rigid_pushing_cfg,
     rigid_sliding_cfg,
 )
+from .rope import RopeEnv, RopeEnvState, RopeTaskCfg, rope_closing_cfg, rope_shaping_cfg  # noqa: F401
+
+ROPE_TASKS = {
+    "rope_closing": rope_closing_cfg,
+    "rope_shaping": rope_shaping_cfg,
+}
 
 
 def make_env(task: str, num_envs: int = 40, **kwargs):
     """Env factory keyed by task name (the gym-ID equivalents)."""
     if task in TASK_REGISTRY:
         return RigidEnv(TASK_REGISTRY[task](num_envs=num_envs, **kwargs))
-    raise ValueError(f"Unknown task {task!r}; available: {sorted(TASK_REGISTRY)}")
+    if task in ROPE_TASKS:
+        return RopeEnv(ROPE_TASKS[task](num_envs=num_envs, **kwargs))
+    raise ValueError(f"Unknown task {task!r}; available: {sorted(TASK_REGISTRY) + sorted(ROPE_TASKS)}")

@@ -104,12 +104,14 @@ class DistanceGroup(NamedTuple):
     Within a group no particle appears twice, so Gauss-Seidel-quality updates
     apply in parallel. Cloth/rope builders emit several groups (graph
     coloring); the solver sweeps groups sequentially each iteration.
+    `mask` disables constraints per env (cloth hole cutouts vary per env).
     """
 
     i: jnp.ndarray  # [C] int32 particle indices
     j: jnp.ndarray  # [C]
     rest: jnp.ndarray  # [C] or [B, C] rest lengths
     compliance: jnp.ndarray  # [C] XPBD compliance (0 = rigid)
+    mask: Optional[jnp.ndarray] = None  # [C] or [B, C]; 1 = active
 
 
 class ParticleSpec(NamedTuple):
@@ -330,6 +332,9 @@ def _solve_distance_group(x, inv_mass, group: DistanceGroup, dt):
     c = dist - rest
     alpha = group.compliance[None] / (dt * dt)
     lam = -c / jnp.maximum(wi + wj + alpha, 1e-12)
+    if group.mask is not None:
+        m = group.mask if group.mask.ndim == 2 else group.mask[None]
+        lam = lam * m
     dx = lam[..., None] * n
 
     x = x.at[:, group.i].add(dx * wi[..., None])

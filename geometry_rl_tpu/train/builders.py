@@ -10,10 +10,19 @@ from __future__ import annotations
 from typing import Optional
 
 from ..envs import make_env
+from ..envs.rope import RopeEnv
 from ..graphs.rigid import RigidGraphBuilder
+from ..graphs.rope import RopeGraphBuilder
 from ..models import DeepSets, DiagGaussianPolicy, GraphValueNet, get_model
 from ..rl.projections import get_projection_layer
 from .ppo import TrainConfig, Trainer
+
+
+def make_graph_builder(env, dist_as_pos: bool):
+    """Pick the task family's data layer (pyg_agent/data group equivalent)."""
+    if isinstance(env, RopeEnv):
+        return RopeGraphBuilder.from_env(env, dist_as_pos=dist_as_pos)
+    return RigidGraphBuilder.from_env(env, dist_as_pos=dist_as_pos)
 
 # models whose equivariant vector output IS the action mean (post_fc=False,
 # configs/*_hepi/empn_*.yaml policy.post_fc)
@@ -88,6 +97,6 @@ def build_agent(
         critic,
         cfg,
         projection=projection,
-        policy_builder=RigidGraphBuilder.from_env(env, dist_as_pos=True),
-        critic_builder=RigidGraphBuilder.from_env(env, dist_as_pos=False),
+        policy_builder=make_graph_builder(env, dist_as_pos=True),
+        critic_builder=make_graph_builder(env, dist_as_pos=False),
     )

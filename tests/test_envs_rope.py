@@ -1,0 +1,127 @@
+"""Rope environment + graph builder + trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometry_rl_tpu.envs import make_env
+from geometry_rl_tpu.envs.rope import shape_descriptor, w_shape_curve
+from geometry_rl_tpu.graphs.rope import RopeGraphBuilder
+from geometry_rl_tpu.rl.obs_pipeline import obs_norm_apply, obs_norm_init
+from geometry_rl_tpu.train import TrainConfig
+from geometry_rl_tpu.train.builders import build_agent
+
+B = 4
+
+
+def test_w_shape_curve_properties():
+    pts = w_shape_curve(80, 10.0)
+    assert pts.shape == (80, 3)
+    # arc length ~ rope length
+    seg = np.linalg.norm(np.diff(pts[:, :2], axis=0), axis=1)
+    np.testing.assert_allclose(seg.sum(), 10.0, rtol=0.02)
+    # it is a W: y has multiple local minima (at least 2 dips)
+    y = pts[:, 1]
+    dips = ((y[1:-1] < y[:-2]) & (y[1:-1] < y[2:])).sum()
+    assert dips >= 2
+
+
+def test_shape_descriptor_invariances():
+    pts = jnp.asarray(w_shape_curve(20, 5.0)[:, :2])
+    d0 = shape_descriptor(pts)
+    # translation invariant? relative vectors are midpoint-relative -> yes
+    d1 = shape_descriptor(pts + jnp.asarray([3.0, -2.0]))
+    np.testing.assert_allclose(d0, d1, atol=1e-4)
+    # scaling changes it
+    d2 = shape_descriptor(pts * 2.0)
+    assert float(jnp.abs(d2 - d0).max()) > 0.1
+
+
+def test_rope_closing_env_steps():
+    env = make_env("rope_closing", num_envs=B)
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.scene.particles.pos.shape == (B, 40, 3)
+    state, ts = env.step(state, jnp.zeros((B, env.cfg.action_dim)))
+    assert np.isfinite(np.asarray(ts.reward)).all()
+    for g in ("scalars", "position_vectors", "velocity_vectors"):
+        assert ts.obs[g].shape == (B, env.obs_spec.group_dim(g))
+
+
+def test_rope_ends_attached_to_grippers():
+    env = make_env("rope_closing", num_envs=B)
+    state = env.reset(jax.random.PRNGKey(1))
+    # drive gripper 0 and check link 0 follows
+    action = jnp.zeros((B, 12)).at[:, 0].set(1.0)
+    for _ in range(20):
+        state, _ = env.step(state, action)
+        state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
+    d0 = np.linalg.norm(
+        np.asarray(state.scene.particles.pos[:, 0] - state.scene.bodies.pos[:, 0]), axis=-1
+    )
+    assert (d0 < 0.05).all()
+    # rope segment lengths stay near rest
+    seg = np.linalg.norm(np.diff(np.asarray(state.scene.particles.pos), axis=1), axis=-1)
+    assert seg.max() < env.cfg.link_spacing * 1.6
+
+
+def test_rope_pole_collision():
+    """Links cannot penetrate the hanger pole."""
+    env = make_env("rope_closing", num_envs=B)
+    state = env.reset(jax.random.PRNGKey(2))
+    # drag both grippers toward/past the hanger
+    for _ in range(60):
+        hanger = jnp.concatenate([state.hanger_xy, jnp.full((B, 1), env.cfg.rope_z)], axis=-1)
+        a = jnp.zeros((B, 12))
+        for i in range(2):
+            d = hanger - state.scene.bodies.pos[:, i]
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+            a = a.at[:, 6 * i : 6 * i + 3].set(d)
+        state, _ = env.step(state, a)
+        state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
+    dist = np.linalg.norm(
+        np.asarray(state.scene.particles.pos[..., :2]) - np.asarray(state.hanger_xy)[:, None], axis=-1
+    )
+    assert dist.min() > env.cfg.hanger_radius * 0.8, dist.min()
+
+
+def test_rope_shaping_env():
+    env = make_env("rope_shaping", num_envs=B)
+    state = env.reset(jax.random.PRNGKey(3))
+    assert state.scene.particles.pos.shape == (B, 80, 3)
+    state, ts = env.step(state, jnp.zeros((B, 12)))
+    assert np.isfinite(np.asarray(ts.reward)).all()
+    assert (np.asarray(ts.reward) <= 0).all()
+
+
+def test_rope_graph_builder():
+    env = make_env("rope_closing", num_envs=B)
+    state = env.reset(jax.random.PRNGKey(4))
+    obs = env.observe(state)
+    norm = obs_norm_init(env.obs_spec.group_dim("scalars"))
+    tobs = obs_norm_apply(norm, obs)
+    builder = RopeGraphBuilder.from_env(env, dist_as_pos=True)
+    graph, feats = builder.build(tobs)
+    assert set(graph.nodes) == {"links", "grippers", "target_geometry"}
+    assert feats.vectors["links"].shape == (B, 40, 3, 3)
+    # internal edges connect chain neighbors
+    src = np.asarray(builder.internal_src)
+    dst = np.asarray(builder.internal_dst)
+    assert (np.abs(src - dst) <= 3).all() and (src != dst).all()
+
+
+def test_rope_trainer_end_to_end():
+    trainer = build_agent(
+        task="rope_closing",
+        model="hepi",
+        num_envs=2,
+        algo="trpl",
+        latent_dim=16,
+        num_ori=4,
+        train_cfg=TrainConfig(algo="trpl", steps_per_batch=4, ppo_epochs=1, mini_batch_size=8),
+        env_kwargs={"episode_length": 4, "num_links": 10, "rope_length": 1.25},
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    state, metrics = trainer.train_iteration(state)
+    assert np.isfinite(float(metrics["loss_objective"]))
+    assert np.isfinite(float(metrics["loss_critic"]))
