@@ -10,7 +10,9 @@ from __future__ import annotations
 from typing import Optional
 
 from ..envs import make_env
+from ..envs.cloth import ClothEnv
 from ..envs.rope import RopeEnv
+from ..graphs.cloth import ClothGraphBuilder
 from ..graphs.rigid import RigidGraphBuilder
 from ..graphs.rope import RopeGraphBuilder
 from ..models import DeepSets, DiagGaussianPolicy, GraphValueNet, get_model
@@ -19,9 +21,13 @@ from .ppo import TrainConfig, Trainer
 
 
 def make_graph_builder(env, dist_as_pos: bool):
-    """Pick the task family's data layer (pyg_agent/data group equivalent)."""
+    """Pick the task family's data layer (pyg_agent/data group equivalent).
+    `dist_as_pos=True` marks the policy builder; the cloth critic additionally
+    keeps the particle nodes (full_graph_obs, cloth hydra config value block)."""
     if isinstance(env, RopeEnv):
         return RopeGraphBuilder.from_env(env, dist_as_pos=dist_as_pos)
+    if isinstance(env, ClothEnv):
+        return ClothGraphBuilder.from_env(env, dist_as_pos=dist_as_pos, full_graph_obs=not dist_as_pos)
     return RigidGraphBuilder.from_env(env, dist_as_pos=dist_as_pos)
 
 # models whose equivariant vector output IS the action mean (post_fc=False,

@@ -1,0 +1,131 @@
+"""Cloth hanging environment + graph builder + trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometry_rl_tpu.envs import make_env
+from geometry_rl_tpu.envs.cloth import (
+    K_BOUNDARY,
+    N_PARTICLES,
+    N_ROW,
+    build_hole_variant,
+    sample_hole_placements,
+)
+from geometry_rl_tpu.graphs.cloth import ClothGraphBuilder
+from geometry_rl_tpu.rl.obs_pipeline import obs_norm_apply, obs_norm_init
+from geometry_rl_tpu.train import TrainConfig
+from geometry_rl_tpu.train.builders import build_agent
+
+B = 4
+
+
+def test_hole_placements_deterministic():
+    p1 = sample_hole_placements()
+    p2 = sample_hole_placements()
+    assert p1 == p2
+    assert len(p1) == 40
+    assert len(set(p1)) == 40
+
+
+def test_hole_variant():
+    removed, boundary = build_hole_variant((7, 7))
+    # plus-shaped cutout: center + 4 neighbors (radius 1.1 grid units)
+    assert removed.sum() == 5
+    assert len(boundary) == K_BOUNDARY
+    # boundary nodes not removed
+    assert (removed[boundary] == 0).all()
+    # boundary nodes near the hole center
+    r, c = boundary // N_ROW, boundary % N_ROW
+    d = np.sqrt((r - 7) ** 2 + (c - 7) ** 2)
+    assert d.max() <= 2.5
+
+
+@pytest.fixture(scope="module")
+def env():
+    return make_env("cloth_hanging", num_envs=B)
+
+
+def test_cloth_env_steps(env):
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.scene.particles.pos.shape == (B, N_PARTICLES, 3)
+    state, ts = env.step(state, jnp.zeros((B, env.cfg.action_dim)))
+    assert np.isfinite(np.asarray(ts.reward)).all()
+    for g in ("scalars", "position_vectors", "velocity_vectors", "infos"):
+        assert ts.obs[g].shape == (B, env.obs_spec.group_dim(g)), g
+
+
+def test_cloth_corners_attached(env):
+    state = env.reset(jax.random.PRNGKey(1))
+    action = jnp.zeros((B, 24)).at[:, 0].set(0.5)  # move gripper 0 in +x
+    for _ in range(20):
+        state, _ = env.step(state, action)
+        state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
+    corners = np.asarray(state.scene.particles.pos[:, np.asarray(env.corner_indices)])
+    cubes = np.asarray(state.scene.bodies.pos)
+    d = np.linalg.norm(corners - cubes, axis=-1)
+    assert d.max() < 0.05
+
+
+def test_cloth_holds_shape_under_gravity(env):
+    """Stretch constraints keep the sheet from tearing apart while the corner
+    pins hold it up."""
+    state = env.reset(jax.random.PRNGKey(2))
+    for _ in range(40):
+        state, _ = env.step(state, jnp.zeros((B, 24)))
+        state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
+    parts = np.asarray(state.scene.particles.pos)
+    hole = np.asarray(env.hole_mask) > 0.5
+    # valid particles stay within a sane bounding volume around the corners
+    for b in range(B):
+        valid = parts[b][~hole[b]]
+        span = valid.max(0) - valid.min(0)
+        assert span.max() < 2.0, span  # 1m cloth cannot stretch to 2m
+
+
+def test_hole_particles_frozen(env):
+    """Removed (hole) particles have zero inverse mass — they never move."""
+    state = env.reset(jax.random.PRNGKey(3))
+    p0 = np.asarray(state.scene.particles.pos)
+    for _ in range(10):
+        state, _ = env.step(state, jnp.zeros((B, 24)))
+        state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
+    p1 = np.asarray(state.scene.particles.pos)
+    hole = np.asarray(env.hole_mask) > 0.5
+    moved = np.linalg.norm(p1 - p0, axis=-1)
+    assert moved[hole].max() < 1e-5
+
+
+def test_cloth_graph_builders(env):
+    state = env.reset(jax.random.PRNGKey(4))
+    obs = env.observe(state)
+    norm = obs_norm_init(env.obs_spec.group_dim("scalars"))
+    tobs = obs_norm_apply(norm, obs)
+
+    policy_builder = ClothGraphBuilder.from_env(env, dist_as_pos=True, full_graph_obs=False)
+    g, f = policy_builder.build(tobs)
+    assert set(g.nodes) == {"grippers", "hole_boundary"}
+    assert f.scalars["grippers"].shape == (B, 4, 4)  # one-hot dim 4
+
+    critic_builder = ClothGraphBuilder.from_env(env, dist_as_pos=False, full_graph_obs=True)
+    g2, f2 = critic_builder.build(tobs)
+    assert "particles" in g2.nodes
+    assert g2.nodes["particles"].mask is not None
+
+
+def test_cloth_trainer_end_to_end():
+    trainer = build_agent(
+        task="cloth_hanging",
+        model="hepi",
+        num_envs=2,
+        algo="trpl",
+        latent_dim=16,
+        num_ori=4,
+        train_cfg=TrainConfig(algo="trpl", steps_per_batch=4, ppo_epochs=1, mini_batch_size=8),
+        env_kwargs={"episode_length": 4},
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    state, metrics = trainer.train_iteration(state)
+    assert np.isfinite(float(metrics["loss_objective"]))
+    assert np.isfinite(float(metrics["loss_critic"]))
