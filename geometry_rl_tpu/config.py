@@ -1,0 +1,161 @@
+"""YAML config system — composition-lite replacement for the Hydra stack.
+
+The reference composes 43 Hydra YAML files (SURVEY.md §2.7). Here each task
+config is one YAML that overrides a nested DEFAULTS dict (same grouping:
+env / collector / algorithm.{policy,objective,projection,optim} / logger),
+merged recursively — no runtime Hydra dependency, jit-friendly static values.
+
+`load_config(path_or_name)` accepts a filesystem path or a bare name resolved
+against the packaged configs/ directory (the 15 reference task configs are
+mirrored there, e.g. "rigid_insertion_multi_hepi_trpl").
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+DEFAULTS: Dict[str, Any] = {
+    "task": "rigid_insertion",
+    "model": "hepi",
+    "algo": "trpl",
+    "seed": 0,
+    "env": {
+        "num_envs": 1000,
+        "kwargs": {},
+    },
+    "collector": {
+        # frames_per_batch / num_envs = control steps per iteration
+        "frames_per_batch": 100_000,
+        "total_frames": 20_000_000,
+    },
+    "algorithm": {
+        "latent_dim": 64,
+        "num_ori": 16,
+        "policy": {
+            "contextual_std": True,
+            "share_action_dim": True,
+        },
+        "objective": {
+            "ppo_epochs": 5,
+            "mini_batch_size": 1000,
+            "gamma": 0.99,
+            "gae_lambda": 0.95,
+            "critic_coef": 0.5,
+            "entropy_coef": 0.005,
+            "entropy_bonus": True,
+            "clip_value": 0.2,
+            "clip_epsilon": 0.2,
+            "anneal_clip_epsilon": False,
+            "loss_critic_type": "l2",
+            "normalize_advantage": True,
+            "clip_grad_norm": False,
+            "max_grad_norm": 1.0,
+        },
+        "projection": {
+            "proj_type": "kl",
+            "mean_bound": 0.05,
+            "cov_bound": 0.0025,
+            "trust_region_coeff": 1.0,
+        },
+        "optim": {
+            "lr": 3e-4,
+            "anneal_lr": False,
+        },
+    },
+    "logger": {
+        "log_dir": "logs/geometry_rl_tpu",
+        "wandb": False,
+        "checkpoint": {
+            "save_interval": 4,
+            "save_best": True,
+            "max_to_keep": 5,
+            "load_dir": None,
+        },
+    },
+}
+
+
+def _merge(base: Dict, override: Dict) -> Dict:
+    out = copy.deepcopy(base)
+    for k, v in (override or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(path_or_name: Optional[str] = None, overrides: Optional[Dict] = None) -> Dict:
+    cfg = copy.deepcopy(DEFAULTS)
+    if path_or_name:
+        path = path_or_name
+        if not os.path.exists(path):
+            path = os.path.join(CONFIG_DIR, path_or_name)
+            if not path.endswith((".yaml", ".yml")):
+                path += ".yaml"
+        with open(path) as f:
+            file_cfg = yaml.safe_load(f) or {}
+        cfg = _merge(cfg, file_cfg)
+    if overrides:
+        cfg = _merge(cfg, overrides)
+    return cfg
+
+
+def available_configs():
+    if not os.path.isdir(CONFIG_DIR):
+        return []
+    return sorted(os.path.splitext(f)[0] for f in os.listdir(CONFIG_DIR) if f.endswith(".yaml"))
+
+
+def trainer_from_config(cfg: Dict):
+    """Build a Trainer from a loaded config dict (AgentBuilder.build facade)."""
+    from .train.builders import build_agent
+    from .train.ppo import TrainConfig
+
+    num_envs = cfg["env"]["num_envs"]
+    steps_per_batch = max(1, cfg["collector"]["frames_per_batch"] // num_envs)
+    total_iterations = max(1, cfg["collector"]["total_frames"] // cfg["collector"]["frames_per_batch"])
+    obj = cfg["algorithm"]["objective"]
+    opt = cfg["algorithm"]["optim"]
+    train_cfg = TrainConfig(
+        algo=cfg["algo"],
+        steps_per_batch=steps_per_batch,
+        ppo_epochs=obj["ppo_epochs"],
+        mini_batch_size=obj["mini_batch_size"],
+        gamma=obj["gamma"],
+        gae_lambda=obj["gae_lambda"],
+        lr=opt["lr"],
+        anneal_lr=opt["anneal_lr"],
+        total_iterations=total_iterations,
+        clip_epsilon=obj["clip_epsilon"],
+        anneal_clip_epsilon=obj["anneal_clip_epsilon"],
+        entropy_coef=obj["entropy_coef"],
+        critic_coef=obj["critic_coef"],
+        clip_value=obj["clip_value"],
+        loss_critic_type=obj["loss_critic_type"],
+        normalize_advantage=obj["normalize_advantage"],
+        entropy_bonus=obj["entropy_bonus"],
+        max_grad_norm=obj["max_grad_norm"],
+        clip_grad_norm=obj["clip_grad_norm"],
+    )
+    proj = cfg["algorithm"]["projection"]
+    return build_agent(
+        task=cfg["task"],
+        model=cfg["model"],
+        num_envs=num_envs,
+        algo=cfg["algo"],
+        latent_dim=cfg["algorithm"]["latent_dim"],
+        num_ori=cfg["algorithm"]["num_ori"],
+        mean_bound=proj["mean_bound"],
+        cov_bound=proj["cov_bound"],
+        trust_region_coeff=proj["trust_region_coeff"],
+        proj_type=proj["proj_type"],
+        train_cfg=train_cfg,
+        env_kwargs=cfg["env"].get("kwargs") or {},
+    )

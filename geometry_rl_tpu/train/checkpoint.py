@@ -1,0 +1,53 @@
+"""Checkpoint / resume via Orbax.
+
+Replaces the reference's torch.save dict of {env VecNorm state, actor,
+critic, reward} (examples/torchrl/train.py:335-368) and its fragile
+recursively_merge_dict restore (train.py:99-102): here the WHOLE TrainState
+pytree — params, optimizer state, normalizer stats, env state, RNG, update
+counter — is one Orbax checkpoint, so resume continues optimization exactly
+(the reference dropped optimizer state and collector counters; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save_checkpoint(directory: str, step: int, state: Any, metrics: Optional[dict] = None) -> None:
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore_checkpoint(directory: str, state: Any, step: Optional[int] = None) -> Any:
+    """Restore into the structure of `state` (an abstract/template TrainState
+    from `trainer.init`)."""
+    mgr = _manager(directory)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"No checkpoint found in {directory}")
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr.close()
+    return restored
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step

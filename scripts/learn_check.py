@@ -1,0 +1,86 @@
+"""Learning sanity check: train rigid_insertion HEPi+TRPL briefly on TPU and
+report the episode-reward trend. Not a unit test (takes minutes); run manually
+or via the driver."""
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="rigid_insertion")
+    ap.add_argument("--model", default="hepi")
+    ap.add_argument("--algo", default="trpl")
+    ap.add_argument("--num-envs", type=int, default=512)
+    ap.add_argument("--iterations", type=int, default=40)
+    ap.add_argument("--steps-per-batch", type=int, default=100)
+    ap.add_argument("--mini-batch", type=int, default=1000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from geometry_rl_tpu.train import TrainConfig
+    from geometry_rl_tpu.train.builders import build_agent
+
+    trainer = build_agent(
+        task=args.task,
+        model=args.model,
+        num_envs=args.num_envs,
+        algo=args.algo,
+        latent_dim=64,
+        num_ori=16,
+        train_cfg=TrainConfig(
+            algo=args.algo,
+            steps_per_batch=args.steps_per_batch,
+            ppo_epochs=5,
+            mini_batch_size=args.mini_batch,
+            total_iterations=args.iterations,
+        ),
+        env_kwargs={"warmup_steps": 0},
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    history = []
+    t0 = time.time()
+    for i in range(args.iterations):
+        it_t = time.time()
+        state, metrics = trainer.train_iteration(state)
+        reward = float(metrics["train/reward"])
+        history.append(reward)
+        print(
+            json.dumps(
+                {
+                    "iter": i,
+                    "reward": round(reward, 4),
+                    "kl": round(float(metrics["kl"]), 6),
+                    "ESS": round(float(metrics["ESS"]), 4),
+                    "entropy": round(float(metrics["entropy"]), 4),
+                    "loss_critic": round(float(metrics["loss_critic"]), 4),
+                    "explained_var": round(float(metrics["train/explained_variance"]), 4),
+                    "it_time": round(time.time() - it_t, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    first = sum(history[:5]) / 5
+    last = sum(history[-5:]) / 5
+    summary = {
+        "task": args.task,
+        "model": args.model,
+        "first5_mean_reward": round(first, 3),
+        "last5_mean_reward": round(last, 3),
+        "improved": last > first,
+        "total_time_s": round(time.time() - t0, 1),
+        "env_steps": args.iterations * args.steps_per_batch * args.num_envs,
+    }
+    print("SUMMARY " + json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"history": history, **summary}, f)
+
+
+if __name__ == "__main__":
+    main()
