@@ -1,3 +1,4 @@
+from .calibration import calibrate  # noqa: F401
 from .common import MLP, gather_nodes, scatter_mean, scatter_sum  # noqa: F401
 from .critic import GraphValueNet, MLPValueNet  # noqa: F401
 from .deepsets import DeepSets  # noqa: F401

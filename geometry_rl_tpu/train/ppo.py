@@ -131,10 +131,16 @@ class Trainer:
         norm = obs_norm_init(env.obs_spec.group_dim("scalars"))
         tobs = obs_norm_apply(norm, obs)
 
+        from ..models.calibration import calibrate
+
         g_p, f_p = self.policy_builder.build(tobs)
         actor_params = self.policy.init(k_actor, g_p, f_p)
+        actor_params = calibrate(self.policy, actor_params, g_p, f_p)
         g_c, f_c = self.critic_builder.build(tobs)
         critic_params = self.critic.init(k_critic, g_c, f_c)
+        critic_params = calibrate(self.critic, critic_params, g_c, f_c)
+        # calibrate() strips sown collections; both param trees now hold
+        # exactly the trainable "params" collection
 
         return TrainState(
             actor_params=actor_params,

@@ -323,3 +323,47 @@ def test_model_registry():
     assert isinstance(m, HEPi)
     with pytest.raises(ValueError):
         get_model("nope")
+
+
+def test_calibration_rescales_kernels(toy):
+    """After calibration each conv stage preserves feature std (x1 std ~
+    input std; x2 std ~ x1 std), matching ponita conv.py:151-157."""
+    from geometry_rl_tpu.models import calibrate
+
+    graph, feats = toy
+    model = HEPi(latent_dim=32, hidden_dim=32, output_dim=2, output_dim_vec=2, num_ori=8)
+    params = model.init(jax.random.PRNGKey(0), graph, feats)
+    calibrated = calibrate(model, params, graph, feats)
+
+    # kernels actually changed
+    import jax as _jax
+
+    p0 = _jax.tree_util.tree_leaves(params)
+    p1 = _jax.tree_util.tree_leaves(calibrated)
+    assert any(float(jnp.abs(a - b).max()) > 1e-6 for a, b in zip(p0, p1))
+
+    # after calibration the sown stds are ~equal per conv
+    _, cols = model.apply(calibrated, graph, feats, mutable=["calibration"])
+
+    def check(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "std_in" in v:
+                    std_in, std_1, std_2 = (float(v[s][-1]) for s in ("std_in", "std_1", "std_2"))
+                    assert abs(std_1 / std_in - 1) < 0.05, (k, std_in, std_1)
+                    assert abs(std_2 / std_1 - 1) < 0.05, (k, std_1, std_2)
+                else:
+                    check(v)
+
+    check(cols["calibration"])
+
+
+def test_calibration_noop_for_conv_free_model(toy):
+    from geometry_rl_tpu.models import calibrate
+
+    graph, feats = toy
+    model = DeepSets(hidden_dim=16, output_dim=8)
+    params = model.init(jax.random.PRNGKey(0), graph, feats)
+    out = calibrate(model, params, graph, feats)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
