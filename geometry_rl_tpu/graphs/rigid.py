@@ -82,20 +82,14 @@ class RigidGraphBuilder:
 
     @staticmethod
     def from_env(env, dist_as_pos: bool = True, angular_velocity: bool = True, knn_k: int = 3):
-        """Precompute per-shape kNN topology, then gather per env."""
+        """Precompute per-shape kNN topology (native C++ builder when
+        available — geometry_rl_tpu.native.knn_graph_batch), then gather per
+        env."""
+        from .. import native
+
         pts = np.asarray(env.shape_set.points)  # [S, P, 3]
         n_pts = np.asarray(env.shape_set.num_points)
-        P = pts.shape[1]
-        E = P * knn_k
-        S = pts.shape[0]
-        src = np.zeros((S, E), np.int32)
-        dst = np.zeros((S, E), np.int32)
-        mask = np.zeros((S, E), np.float32)
-        for s in range(S):
-            e = knn_edges_np(pts[s], int(n_pts[s]), knn_k)
-            src[s, : len(e)] = e[:, 0]
-            dst[s, : len(e)] = e[:, 1]
-            mask[s, : len(e)] = 1.0
+        src, dst, mask = native.knn_graph_batch(pts, n_pts, knn_k)
         ids = np.asarray(env.shape_ids)
         has_obj_ang = "object_geometry_angular" in env.obs_spec.names["velocity_vectors"]
         return RigidGraphBuilder(
