@@ -89,6 +89,7 @@ class RigidGraphBuilder:
 
         pts = np.asarray(env.shape_set.points)  # [S, P, 3]
         n_pts = np.asarray(env.shape_set.num_points)
+        P = pts.shape[1]
         src, dst, mask = native.knn_graph_batch(pts, n_pts, knn_k)
         ids = np.asarray(env.shape_ids)
         has_obj_ang = "object_geometry_angular" in env.obs_spec.names["velocity_vectors"]
