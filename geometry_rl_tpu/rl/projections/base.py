@@ -224,8 +224,15 @@ def get_projection_layer(proj_type: str = "kl", **kwargs) -> BaseProjection:
         return KLProjection(**kwargs)
     if proj_type == "frob":
         return FrobeniusProjection(**kwargs)
-    if proj_type in ("w2", "wasserstein"):
+    if proj_type in ("w2", "wasserstein", "w2_non_com"):
+        # diagonal covariances always commute, so the non-commutative variant
+        # (w2_projection_layer_non_com.py) coincides with the commutative one
         return WassersteinProjection(**kwargs)
+    if proj_type == "papi":
+        from .papi import PAPIProjection
+
+        kwargs.setdefault("entropy_first", True)
+        return PAPIProjection(**kwargs)
     if proj_type in ("", "ppo", "identity", "entropy", "none"):
         return BaseProjection(**kwargs)
-    raise ValueError(f"Invalid projection type {proj_type!r}; use kl, frob, w2 or ppo.")
+    raise ValueError(f"Invalid projection type {proj_type!r}; use kl, frob, w2, papi or ppo.")

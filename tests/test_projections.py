@@ -261,3 +261,42 @@ def test_projection_layer_jit_and_grad(dists):
     g_mean, g_std = jax.grad(loss, argnums=(0, 1))(p.mean, p.std)
     assert np.isfinite(np.asarray(g_mean)).all()
     assert np.isfinite(np.asarray(g_std)).all()
+
+
+def test_papi_projection_joint_bound(dists):
+    """PAPI enforces the JOINT bound on the EXPECTED KL over the batch."""
+    from geometry_rl_tpu.rl.projections.papi import PAPIProjection
+
+    p, q = dists
+    layer = PAPIProjection(mean_bound=0.015, cov_bound=0.005, entropy_first=True)
+    proj = layer(p, q)
+    m, c = G.kl_parts(proj, q)
+    joint = float(m.mean() + c.mean())
+    assert joint <= (0.015 + 0.005) * 1.1, joint
+
+
+def test_papi_noop_inside_bound(dists):
+    from geometry_rl_tpu.rl.projections.papi import PAPIProjection
+
+    p, _ = dists
+    q = G.DiagGaussian(p.mean + 1e-4, p.std * 1.0001)
+    layer = PAPIProjection(mean_bound=0.5, cov_bound=0.5, entropy_first=True)
+    proj = layer(p, q)
+    np.testing.assert_allclose(proj.mean, p.mean, atol=1e-5)
+    np.testing.assert_allclose(proj.std, p.std, rtol=1e-4)
+
+
+def test_papi_weight_update():
+    from geometry_rl_tpu.rl.projections.papi import papi_weight_update
+
+    new = {"w": jnp.ones((2, 2)) * 3.0}
+    old = {"w": jnp.ones((2, 2))}
+    out = papi_weight_update(new, old, 0.5)
+    np.testing.assert_allclose(out["w"], 2.0)
+
+
+def test_factory_papi_and_w2_non_com():
+    from geometry_rl_tpu.rl.projections.papi import PAPIProjection
+
+    assert isinstance(get_projection_layer("papi"), PAPIProjection)
+    assert isinstance(get_projection_layer("w2_non_com"), WassersteinProjection)
