@@ -37,6 +37,7 @@ DEFAULTS: Dict[str, Any] = {
     "algorithm": {
         "latent_dim": 64,
         "num_ori": 16,
+        "dtype": "bfloat16",  # model activation dtype on TPU (f32 params)
         "policy": {
             "contextual_std": True,
             "share_action_dim": True,
@@ -145,6 +146,9 @@ def trainer_from_config(cfg: Dict):
         clip_grad_norm=obj["clip_grad_norm"],
     )
     proj = cfg["algorithm"]["projection"]
+    import jax.numpy as jnp
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg["algorithm"].get("dtype", "float32")]
     return build_agent(
         task=cfg["task"],
         model=cfg["model"],
@@ -152,6 +156,7 @@ def trainer_from_config(cfg: Dict):
         algo=cfg["algo"],
         latent_dim=cfg["algorithm"]["latent_dim"],
         num_ori=cfg["algorithm"]["num_ori"],
+        dtype=dtype,
         mean_bound=proj["mean_bound"],
         cov_bound=proj["cov_bound"],
         trust_region_coeff=proj["trust_region_coeff"],

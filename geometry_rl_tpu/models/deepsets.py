@@ -19,6 +19,7 @@ class DeepSets(nn.Module):
     hidden_dim: int = 64
     output_dim: int = 64
     layer_norm: bool = True  # deepsets.yaml norm: [layer_norm, layer_norm]
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, graph: HeteroGraph, feats: GraphFeatures) -> jnp.ndarray:
@@ -26,17 +27,17 @@ class DeepSets(nn.Module):
         x = concat_features(graph, feats)  # [B,Ntot,F]
 
         # inner MLP (PyG MLP: hidden layers get norm+relu, output raw)
-        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x.astype(self.dtype))
         if self.layer_norm:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
 
-        x = (x * homo.node_mask[..., None]).sum(axis=1)  # masked sum pool
+        x = (x * homo.node_mask[..., None].astype(self.dtype)).sum(axis=1)  # masked sum pool
 
-        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
         if self.layer_norm:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.output_dim)(x)
-        return x
+        x = nn.Dense(self.output_dim, dtype=self.dtype)(x)
+        return x.astype(jnp.float32)

@@ -24,17 +24,19 @@ class ProcessorLayer(nn.Module):
     """mpnn.py:7-137 with update_edge=False (the GCN configuration)."""
 
     channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, src, dst, edge_mask, edge_attr):
         num_nodes = x.shape[1]
+        x = x.astype(self.dtype)
         x_j = gather_nodes(x, src)
-        agg = scatter_sum(x_j * edge_attr * edge_mask[..., None], dst, num_nodes)
+        agg = scatter_sum(x_j * edge_attr * edge_mask[..., None].astype(self.dtype), dst, num_nodes)
         h = jnp.concatenate([x, agg], axis=-1)
-        h = nn.Dense(self.channels)(h)
+        h = nn.Dense(self.channels, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(self.channels)(h)
-        h = nn.LayerNorm()(h)
+        h = nn.Dense(self.channels, dtype=self.dtype)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         return x + h
 
 
@@ -43,6 +45,7 @@ class GCN(nn.Module):
     output_dim: int = 6
     num_layers: int = 2
     concat_global: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, graph: HeteroGraph, feats: GraphFeatures) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -56,16 +59,19 @@ class GCN(nn.Module):
         dist = jnp.linalg.norm(cart, axis=-1, keepdims=True)
         edge_attr = jnp.concatenate([homo.edge_type_onehot, cart, dist], axis=-1)
 
-        x = nn.Dense(self.hidden_dim, name="node_lin")(x)
-        e = nn.Dense(self.hidden_dim)(edge_attr)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="node_lin")(x.astype(self.dtype))
+        e = nn.Dense(self.hidden_dim, dtype=self.dtype)(edge_attr.astype(self.dtype))
         e = nn.relu(e)
-        e = nn.Dense(self.hidden_dim)(e)
+        e = nn.Dense(self.hidden_dim, dtype=self.dtype)(e)
         e = nn.relu(e)
-        e = nn.Dense(self.hidden_dim)(e)
-        e = nn.LayerNorm()(e)
+        e = nn.Dense(self.hidden_dim, dtype=self.dtype)(e)
+        e = nn.LayerNorm(dtype=self.dtype)(e)
 
         for i in range(self.num_layers):
-            x = ProcessorLayer(self.hidden_dim, name=f"conv_{i}")(x, homo.edges.src, homo.edges.dst, homo.edges.mask, e)
+            x = ProcessorLayer(self.hidden_dim, dtype=self.dtype, name=f"conv_{i}")(
+                x, homo.edges.src, homo.edges.dst, homo.edges.mask, e
+            )
+        x = x.astype(jnp.float32)
 
         start, stop = homo.output_slice(graph)
         h = x[:, start:stop]

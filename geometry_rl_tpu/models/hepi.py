@@ -49,6 +49,7 @@ class HEPi(nn.Module):
     basis_dim: Optional[int] = None
     widening_factor: int = 4
     concat_global: bool = False
+    dtype: jnp.dtype = jnp.float32  # activation/compute dtype (bf16 for TPU)
 
     @nn.compact
     def __call__(
@@ -61,17 +62,17 @@ class HEPi(nn.Module):
         basis_dim = self.basis_dim or self.hidden_dim
 
         # shared basis networks (hepi.py:76-89)
-        basis_fn = PolynomialBasis(self.hidden_dim, basis_dim, self.degree, name="basis_fn")
-        fiber_basis_fn = PolynomialBasis(self.hidden_dim, basis_dim, self.degree, name="fiber_basis_fn")
+        basis_fn = PolynomialBasis(self.hidden_dim, basis_dim, self.degree, dtype=self.dtype, name="basis_fn")
+        fiber_basis_fn = PolynomialBasis(self.hidden_dim, basis_dim, self.degree, dtype=self.dtype, name="fiber_basis_fn")
 
         # node encoder shared across node types (hepi.py:91,136-143)
-        node_encoder = nn.Dense(self.latent_dim, use_bias=False, name="node_encoder")
+        node_encoder = nn.Dense(self.latent_dim, use_bias=False, dtype=self.dtype, name="node_encoder")
         latent: Dict[str, jnp.ndarray] = {}
         for nt in graph.node_types:
             scalar = scalar_to_sphere(feats.scalars[nt], ori_grid)  # [B,N,O,S]
             vector = vec_to_sphere(feats.vectors[nt], ori_grid)  # [B,N,O,V]
             x = jnp.concatenate([scalar, vector], axis=-1)
-            latent[nt] = node_encoder(x)
+            latent[nt] = node_encoder(x.astype(self.dtype))
 
         # pairwise invariants + kernel bases per edge type (hepi.py:145-157).
         # NOTE: invariants use RAW positions (graph pos), not normalized —
@@ -97,6 +98,7 @@ class HEPi(nn.Module):
                     convs[level] = FiberBundleConv(
                         self.latent_dim,
                         widening_factor=self.widening_factor,
+                        dtype=self.dtype,
                         name=f"processor_{k}_{level}",
                     )
             # HeteroFiberConv grouping: each active edge type produces an
@@ -121,11 +123,13 @@ class HEPi(nn.Module):
             g = all_nodes.mean(axis=1, keepdims=True)
             h = jnp.concatenate([h, jnp.broadcast_to(g, h.shape[:2] + g.shape[2:])], axis=-1)
 
-        output = nn.Dense(self.output_dim + self.output_dim_vec, name="decoder")(h)
+        output = nn.Dense(self.output_dim + self.output_dim_vec, dtype=self.dtype, name="decoder")(h)
+        # decode in f32: action means / std inputs need full precision
+        output = output.astype(jnp.float32)
         out_scalar = output[..., : self.output_dim].mean(axis=-2)  # [B,G,out_s]
         out_vec_sph = output[..., self.output_dim :]  # [B,G,O,out_v]
         out_vec = jnp.einsum("bgov,od->bgvd", out_vec_sph, ori_grid) / self.num_ori  # [B,G,out_v,3]
         out = out_vec * out_scalar[..., None]  # (hepi.py:186-187)
 
-        latent_mean = h.mean(axis=-2)  # [B,G,latent]
+        latent_mean = h.astype(jnp.float32).mean(axis=-2)  # [B,G,latent]
         return out, latent_mean

@@ -79,12 +79,13 @@ class PolynomialBasis(nn.Module):
     hidden_dim: int
     basis_dim: int
     degree: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = polynomial_features(x, self.degree)
-        x = nn.gelu(nn.Dense(self.hidden_dim)(x))
-        x = nn.gelu(nn.Dense(self.basis_dim)(x))
+        x = polynomial_features(x.astype(self.dtype), self.degree)
+        x = nn.gelu(nn.Dense(self.hidden_dim, dtype=self.dtype)(x))
+        x = nn.gelu(nn.Dense(self.basis_dim, dtype=self.dtype)(x))
         return x
 
 
@@ -104,20 +105,23 @@ class FiberBundleConv(nn.Module):
     channels: int
     widening_factor: int = 4
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_src, x_dst, src, dst, edge_mask, kernel_basis, fiber_basis):
         num_dst = x_dst.shape[1]
+        x_src = x_src.astype(self.dtype)
+        x_dst = x_dst.astype(self.dtype)
 
-        kernel = nn.Dense(self.channels, use_bias=False, name="kernel")(kernel_basis)  # [B,E,O,C]
-        fiber_kernel = nn.Dense(self.channels, use_bias=False, name="fiber_kernel")(fiber_basis)  # [O,O,C]
+        kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="kernel")(kernel_basis)
+        fiber_kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="fiber_kernel")(fiber_basis)
 
         x_j = gather_nodes(x_src, src)  # [B,E,O,C]
-        messages = kernel * x_j * edge_mask[..., None, None]
+        messages = kernel * x_j * edge_mask[..., None, None].astype(self.dtype)
         x_1 = scatter_sum(messages, dst, num_dst)  # [B,Nd,O,C]
 
         # depthwise fiber (spherical) conv — dense contraction over orientations
-        x_2 = jnp.einsum("bnoc,opc->bnpc", x_1, fiber_kernel) / fiber_kernel.shape[-2]
+        x_2 = jnp.einsum("bnoc,opc->bnpc", x_1, fiber_kernel, preferred_element_type=self.dtype) / fiber_kernel.shape[-2]
 
         # expose pre-activation stds so a one-shot calibration pass can rescale
         # kernel weights like the reference's first-train-step callibrate()
@@ -128,12 +132,12 @@ class FiberBundleConv(nn.Module):
 
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-            x_2 = x_2 + bias
+            x_2 = x_2 + bias.astype(self.dtype)
 
-        h = nn.LayerNorm()(x_2)
-        h = nn.Dense(self.channels * self.widening_factor)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x_2)
+        h = nn.Dense(self.channels * self.widening_factor, dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.channels)(h)
+        h = nn.Dense(self.channels, dtype=self.dtype)(h)
         return x_dst + h
 
 
@@ -144,35 +148,37 @@ class SeparableFiberBundleConvNext(nn.Module):
     channels: int
     widening_factor: int = 4
     layer_scale_init: Optional[float] = 1e-6
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, src, dst, edge_mask, kernel_basis, fiber_basis):
         num_nodes = x.shape[1]
+        x = x.astype(self.dtype)
 
-        kernel = nn.Dense(self.channels, use_bias=False, name="kernel")(kernel_basis)
-        fiber_kernel = nn.Dense(self.channels, use_bias=False, name="fiber_kernel")(fiber_basis)
+        kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="kernel")(kernel_basis)
+        fiber_kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="fiber_kernel")(fiber_basis)
 
         x_j = gather_nodes(x, src)
-        messages = kernel * x_j * edge_mask[..., None, None]
+        messages = kernel * x_j * edge_mask[..., None, None].astype(self.dtype)
         x_1 = scatter_sum(messages, dst, num_nodes)
-        x_2 = jnp.einsum("bnoc,opc->bnpc", x_1, fiber_kernel) / fiber_kernel.shape[-2]
+        x_2 = jnp.einsum("bnoc,opc->bnpc", x_1, fiber_kernel, preferred_element_type=self.dtype) / fiber_kernel.shape[-2]
 
         self.sow("calibration", "std_in", x.std())
         self.sow("calibration", "std_1", x_1.std())
         self.sow("calibration", "std_2", x_2.std())
 
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        h = x_2 + bias
+        h = x_2 + bias.astype(self.dtype)
 
-        h = nn.LayerNorm()(h)
-        h = nn.Dense(self.channels * self.widening_factor)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
+        h = nn.Dense(self.channels * self.widening_factor, dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.channels)(h)
+        h = nn.Dense(self.channels, dtype=self.dtype)(h)
         if self.layer_scale_init is not None:
             scale = self.param(
                 "layer_scale",
                 nn.initializers.constant(self.layer_scale_init),
                 (self.channels,),
             )
-            h = scale * h
+            h = scale.astype(self.dtype) * h
         return x + h

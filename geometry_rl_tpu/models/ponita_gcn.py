@@ -37,6 +37,7 @@ class PonitaGCN(nn.Module):
     degree: int = 2
     widening_factor: int = 4
     only_upper_hemisphere: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -54,23 +55,25 @@ class PonitaGCN(nn.Module):
             xs.append(jnp.concatenate([scalar, vector], axis=-1))
         x = jnp.concatenate(xs, axis=1)  # [B,Ntot,O,S+V]
 
-        x = nn.Dense(self.hidden_dim, use_bias=False, name="x_embedder")(x)
+        x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="x_embedder")(x.astype(self.dtype))
 
         pos_src = gather_nodes(homo.pos, homo.edges.src)
         pos_dst = gather_nodes(homo.pos, homo.edges.dst)
         spatial_inv, ori_inv = compute_invariants(ori_grid, pos_src, pos_dst)
-        kernel_basis = PolynomialBasis(self.hidden_dim, self.hidden_dim, self.degree, name="basis_fn")(spatial_inv)
-        fiber_basis = PolynomialBasis(self.hidden_dim, self.hidden_dim, self.degree, name="fiber_basis_fn")(ori_inv)
+        kernel_basis = PolynomialBasis(self.hidden_dim, self.hidden_dim, self.degree, dtype=self.dtype, name="basis_fn")(spatial_inv)
+        fiber_basis = PolynomialBasis(self.hidden_dim, self.hidden_dim, self.degree, dtype=self.dtype, name="fiber_basis_fn")(ori_inv)
 
         for i in range(self.num_layers):
             x = SeparableFiberBundleConvNext(
                 self.hidden_dim,
                 widening_factor=self.widening_factor,
                 layer_scale_init=None,  # ponita_gcn.py:49 layer_scale=None
+                dtype=self.dtype,
                 name=f"interaction_{i}",
             )(x, homo.edges.src, homo.edges.dst, homo.edges.mask, kernel_basis, fiber_basis)
 
-        output = nn.Dense(self.output_dim + self.output_dim_vec, name="readout")(x)
+        output = nn.Dense(self.output_dim + self.output_dim_vec, dtype=self.dtype, name="readout")(x).astype(jnp.float32)
+        x = x.astype(jnp.float32)
         out_scalar = output[..., : self.output_dim].mean(axis=-2)  # [B,Ntot,out_s]
         out_vec = jnp.einsum("bnov,od->bnvd", output[..., self.output_dim :], ori_grid) / self.num_ori
 

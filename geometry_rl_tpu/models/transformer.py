@@ -25,6 +25,7 @@ class EncoderLayer(nn.Module):
     hidden_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -32,13 +33,14 @@ class EncoderLayer(nn.Module):
             num_heads=self.num_heads,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
         )(x, x, mask=mask)
-        x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=deterministic)(attn))
-        h = nn.Dense(self.hidden_dim)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout, deterministic=deterministic)(attn))
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(self.hidden_dim)(h)
-        return nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=deterministic)(h))
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype)(h)
+        return nn.LayerNorm(dtype=self.dtype)(x + nn.Dropout(self.dropout, deterministic=deterministic)(h))
 
 
 class TransformerVanilla(nn.Module):
@@ -48,6 +50,7 @@ class TransformerVanilla(nn.Module):
     num_heads: int = 2
     dropout: float = 0.1
     concat_global: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -57,7 +60,7 @@ class TransformerVanilla(nn.Module):
         x = concat_features(graph, feats)  # [B,Ntot,F]
         B = x.shape[0]
 
-        x = nn.Dense(self.hidden_dim, name="embedding")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="embedding")(x.astype(self.dtype))
         node_mask = homo.node_mask  # [B,Ntot]
 
         if self.concat_global:
@@ -67,7 +70,7 @@ class TransformerVanilla(nn.Module):
 
         attn_mask = node_mask[:, None, None, :] > 0.5  # [B,1,1,N] key mask
         for i in range(self.num_layers):
-            x = EncoderLayer(self.hidden_dim, self.num_heads, self.dropout, name=f"layer_{i}")(
+            x = EncoderLayer(self.hidden_dim, self.num_heads, self.dropout, dtype=self.dtype, name=f"layer_{i}")(
                 x, mask=attn_mask, deterministic=deterministic
             )
 
@@ -80,5 +83,6 @@ class TransformerVanilla(nn.Module):
         else:
             h = x[:, start:stop]
 
+        h = h.astype(jnp.float32)
         out = nn.Dense(self.output_dim, name="fc_out")(h)  # [B,G,output_dim]
         return out, h

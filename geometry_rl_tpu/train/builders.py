@@ -36,7 +36,9 @@ EQUIVARIANT_MODELS = ("hepi", "ponita_gcn", "empn")
 
 
 def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, **model_kw):
-    """Policy module for a task (utils_algo_graph._make_probabilistic_actor)."""
+    """Policy module for a task (utils_algo_graph._make_probabilistic_actor).
+    Pass dtype=jnp.bfloat16 in model_kw for TPU-native mixed precision (params
+    stay f32; distribution outputs are cast back to f32 inside the models)."""
     cfg = env.cfg
     equivariant = model_name.lower() in EQUIVARIANT_MODELS
     action_per_gripper = cfg.action_dim // cfg.num_grippers
@@ -65,10 +67,14 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
     )
 
 
-def build_critic(latent_dim: int = 64):
+def build_critic(latent_dim: int = 64, dtype=None):
     """DeepSets critic, the configuration every reference config uses
     (configs/*:23 value model override -> deepsets + GNNVFNet final layer)."""
-    return GraphValueNet(backbone=DeepSets(hidden_dim=latent_dim, output_dim=latent_dim))
+    import jax.numpy as jnp
+
+    return GraphValueNet(
+        backbone=DeepSets(hidden_dim=latent_dim, output_dim=latent_dim, dtype=dtype or jnp.float32)
+    )
 
 
 def build_agent(
@@ -89,7 +95,7 @@ def build_agent(
     """AgentBuilder.build equivalent: one call -> ready Trainer."""
     env = make_env(task, num_envs=num_envs, **(env_kwargs or {}))
     policy = build_policy(model, env, latent_dim=latent_dim, num_ori=num_ori, **model_kw)
-    critic = build_critic(latent_dim=latent_dim)
+    critic = build_critic(latent_dim=latent_dim, dtype=model_kw.get("dtype"))
     projection = get_projection_layer(
         proj_type if algo == "trpl" else "ppo",
         mean_bound=mean_bound,

@@ -1,3 +1,5 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, jax, jax.numpy as jnp
 from geometry_rl_tpu.rl import gaussian as G
 from geometry_rl_tpu.rl.obs_pipeline import obs_norm_init, obs_norm_step
