@@ -33,6 +33,7 @@ def main():
         num_ori=16,
         train_cfg=TrainConfig(steps_per_batch=SCAN_STEPS, mini_batch_size=1000),
         env_kwargs={"warmup_steps": 0},
+        dtype=jnp.bfloat16,
     )
     env = trainer.env
     key = jax.random.PRNGKey(0)

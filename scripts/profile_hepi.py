@@ -39,12 +39,12 @@ def timeit(f, *args, n=20):
 
 
 @jax.jit
-def fwd(params, graph, feats):
+def fwd(params):
     d = trainer.policy.apply(params, graph, feats)
     return d.mean.sum() + d.std.sum()
 
 
-print(f"full fwd           : {timeit(fwd, params, graph, feats):.2f} ms", flush=True)
+print(f"full fwd           : {timeit(fwd, params):.2f} ms", flush=True)
 
 # scatter-free variant: monkeypatch scatter_sum to a dense mean (wrong math,
 # same data volume minus scatter)
@@ -60,12 +60,12 @@ mponita.scatter_sum = fake_scatter
 
 
 @jax.jit
-def fwd_noscatter(params, graph, feats):
+def fwd_noscatter(params):
     d = trainer.policy.apply(params, graph, feats)
     return d.mean.sum() + d.std.sum()
 
 
-print(f"no-scatter fwd     : {timeit(fwd_noscatter, params, graph, feats):.2f} ms", flush=True)
+print(f"no-scatter fwd     : {timeit(fwd_noscatter, params):.2f} ms", flush=True)
 mponita.scatter_sum = orig_scatter
 
 # gather-free too
@@ -81,12 +81,12 @@ mponita.scatter_sum = fake_scatter
 
 
 @jax.jit
-def fwd_nogs(params, graph, feats):
+def fwd_nogs(params):
     d = trainer.policy.apply(params, graph, feats)
     return d.mean.sum() + d.std.sum()
 
 
-print(f"no-gather/scatter  : {timeit(fwd_nogs, params, graph, feats):.2f} ms", flush=True)
+print(f"no-gather/scatter  : {timeit(fwd_nogs, params):.2f} ms", flush=True)
 mponita.gather_nodes = orig_gather
 mponita.scatter_sum = orig_scatter
 
@@ -110,10 +110,22 @@ mhepi.PolynomialBasis = ConstBasis
 
 
 @jax.jit
-def fwd_nobasis(params, graph, feats):
+def fwd_nobasis(params):
     d = trainer.policy.apply(params, graph, feats)
     return d.mean.sum() + d.std.sum()
 
 
-print(f"const-basis fwd    : {timeit(fwd_nobasis, params, graph, feats):.2f} ms", flush=True)
+print(f"const-basis fwd    : {timeit(fwd_nobasis, params):.2f} ms", flush=True)
 mhepi.PolynomialBasis = orig_basis
+
+
+@jax.jit
+def fwd_bwd(params):
+    def loss(p):
+        d = trainer.policy.apply(p, graph, feats)
+        return d.mean.sum() + d.std.sum()
+    g = jax.grad(loss)(params)
+    return jax.tree_util.tree_reduce(lambda a, b: a + b.sum(), g, 0.0)
+
+
+print(f"fwd+bwd            : {timeit(fwd_bwd, params):.2f} ms", flush=True)
