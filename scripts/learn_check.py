@@ -26,6 +26,8 @@ def main():
     from geometry_rl_tpu.train import TrainConfig
     from geometry_rl_tpu.train.builders import build_agent
 
+    import jax.numpy as jnp
+
     trainer = build_agent(
         task=args.task,
         model=args.model,
@@ -33,6 +35,7 @@ def main():
         algo=args.algo,
         latent_dim=64,
         num_ori=16,
+        dtype=jnp.bfloat16,
         train_cfg=TrainConfig(
             algo=args.algo,
             steps_per_batch=args.steps_per_batch,
