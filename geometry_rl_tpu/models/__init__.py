@@ -4,6 +4,7 @@ from .critic import GraphValueNet, MLPValueNet  # noqa: F401
 from .deepsets import DeepSets  # noqa: F401
 from .gcn import GCN  # noqa: F401
 from .hepi import HEPi  # noqa: F401
+from .meshgraphnet import MeshGraphNet  # noqa: F401
 from .policy import DiagGaussianPolicy  # noqa: F401
 from .ponita_gcn import PonitaGCN  # noqa: F401
 from .transformer import TransformerVanilla  # noqa: F401
@@ -15,6 +16,7 @@ MODEL_REGISTRY = {
     "transformer": TransformerVanilla,
     "gcn": GCN,
     "deepsets": DeepSets,
+    "meshgraphnet": MeshGraphNet,  # the reference's BaseGNN (gnn/base_gnn.py)
 }
 
 

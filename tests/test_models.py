@@ -367,3 +367,14 @@ def test_calibration_noop_for_conv_free_model(toy):
     out = calibrate(model, params, graph, feats)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(out)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_meshgraphnet(toy):
+    from geometry_rl_tpu.models import MeshGraphNet
+
+    graph, feats = toy
+    model = MeshGraphNet(hidden_dim=16, output_dim=8, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), graph, feats)
+    out, latent = model.apply(params, graph, feats)
+    assert out.shape == (B, N_GRIP, 8)
+    assert np.isfinite(np.asarray(out)).all()
