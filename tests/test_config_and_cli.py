@@ -131,3 +131,25 @@ def test_generate_data_and_bc(tmp_path, small_trainer_state):
         )
     ]
     assert max(diffs) > 0
+
+
+def test_onpolicy_runner(tmp_path):
+    from geometry_rl_tpu.train.runner import OnPolicyRunner
+
+    runner = OnPolicyRunner(
+        task="rigid_pushing",
+        model="transformer",
+        algo="ppo",
+        num_envs=2,
+        steps_per_env=4,
+        log_dir=str(tmp_path),
+        latent_dim=16,
+        env_kwargs={"episode_length": 4},
+    )
+    runner.learn(2)
+    assert runner.iteration == 2
+    runner.save()
+    # inference policy runs
+    obs = runner.trainer.env.observe(runner.state.env_state)
+    act = runner.get_inference_policy()(obs)
+    assert act.shape == (2, runner.trainer.env.cfg.action_dim)
