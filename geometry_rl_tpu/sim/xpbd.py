@@ -170,12 +170,16 @@ def _solve_fixed_joints(
     each body pair shares one joint (our scenes).
     """
     B, NB = pos.shape[:2]
-    ia, ib = joints.body_a, joints.body_b  # [NJ]
+    ia, ib = joints.body_a, joints.body_b  # [NJ] static
     im_a, ii_a = spec.inv_mass[ia], spec.inv_inertia[ia]
     im_b, ii_b = spec.inv_mass[ib], spec.inv_inertia[ib]
 
+    oh_a = jax.nn.one_hot(ia, NB, dtype=pos.dtype)  # [NJ, NB] constant-folded
+    oh_b = jax.nn.one_hot(ib, NB, dtype=pos.dtype)
+
     def scatter(vals, idx):
-        return jax.vmap(lambda v: jax.ops.segment_sum(v, idx, num_segments=NB), in_axes=0)(vals)
+        oh = oh_a if idx is ia else oh_b
+        return jnp.einsum("jn,bjd->bnd", oh, vals)
 
     # --- stage 1: orientation weld (drive q_b -> q_a * rel_quat) ----------
     # Applied BEFORE the anchor so the anchor sees welded orientations;
@@ -320,8 +324,13 @@ def _solve_body_pair_contact(pos, quat, spec, contact: BodyPairContact):
 
 
 def _solve_distance_group(x, inv_mass, group: DistanceGroup, dt):
-    """Parallel distance-constraint solve for one conflict-free group."""
-    xi, xj = x[:, group.i], x[:, group.j]  # [B, C, 3]
+    """Parallel distance-constraint solve for one conflict-free group.
+
+    Constraint indices are STATIC per task, so the scatter-back is lowered to
+    one-hot matmuls (TPU scatter ops serialize; an [P, C] x [C, 3] contraction
+    is MXU work — same trick as models/common.py)."""
+    P = x.shape[1]
+    xi, xj = x[:, group.i], x[:, group.j]  # [B, C, 3] (static gathers)
     wi = inv_mass[..., group.i] if inv_mass.ndim == 2 else inv_mass[group.i][None]
     wj = inv_mass[..., group.j] if inv_mass.ndim == 2 else inv_mass[group.j][None]
     rest = group.rest if group.rest.ndim == 2 else group.rest[None]
@@ -337,8 +346,11 @@ def _solve_distance_group(x, inv_mass, group: DistanceGroup, dt):
         lam = lam * m
     dx = lam[..., None] * n
 
-    x = x.at[:, group.i].add(dx * wi[..., None])
-    x = x.at[:, group.j].add(-dx * wj[..., None])
+    # constant-folded one-hot scatter matrices [C, P]
+    oh_i = jax.nn.one_hot(group.i, P, dtype=x.dtype)
+    oh_j = jax.nn.one_hot(group.j, P, dtype=x.dtype)
+    x = x + jnp.einsum("cp,bcd->bpd", oh_i, dx * wi[..., None])
+    x = x - jnp.einsum("cp,bcd->bpd", oh_j, dx * wj[..., None])
     return x
 
 
@@ -364,15 +376,18 @@ def _solve_attachments(x, inv_mass, pos, quat, spec, att: BodyAttachment):
     lam = -c_norm.squeeze(-1) / jnp.maximum(wp + wb, 1e-12)
     dx = lam[..., None] * n
 
-    x = x.at[:, att.particle].add(dx * wp[..., None])
+    oh_p = jax.nn.one_hot(att.particle, x.shape[1], dtype=x.dtype)  # [A, NP] static
+    x = x + jnp.einsum("ap,bad->bpd", oh_p, dx * wp[..., None])
 
-    def scatter(vals, idx):
-        return jax.vmap(lambda v: jax.ops.segment_sum(v, idx, num_segments=NB))(vals)
+    oh_b = jax.nn.one_hot(att.body, NB, dtype=pos.dtype)  # [A, NB] static
+
+    def scatter(vals):
+        return jnp.einsum("an,bad->bnd", oh_b, vals)
 
     p_imp = -dx
-    dpos = scatter(p_imp * im_b[..., None] * spec.free_pos[att.body], att.body)
+    dpos = scatter(p_imp * im_b[..., None] * spec.free_pos[att.body])
     dw_j = _inv_inertia_world(qb, ii_b, jnp.cross(r, p_imp)) * spec.free_rot[att.body]
-    dw = scatter(dw_j, att.body)
+    dw = scatter(dw_j)
     pos = pos + dpos
     dq = 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), quat)
     quat = quat_normalize(quat + dq)
