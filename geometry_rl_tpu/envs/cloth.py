@@ -144,6 +144,7 @@ class ClothTaskCfg:
 
     # rewards (ICLRHangingRewardsCfg)
     tracking_weight: float = -0.8
+    distortion_area_based: bool = False  # HangingRewardsCfg variant (edge = ICLR)
     n_last_steps: int = 2
     weight_n_last_steps: float = 5.0
     orientation_weight: float = 0.1
@@ -230,6 +231,32 @@ class ClothEnv:
             if family in ("stretch", "shear"):
                 edge_list.append((pairs, valid))
         self.distance_groups = tuple(groups)
+
+        # triangles for the area-based distortion variant (two per grid quad)
+        tris = []
+        for r in range(N_ROW - 1):
+            for c in range(N_ROW - 1):
+                a, b_, c_, d_ = (
+                    grid_index(r, c),
+                    grid_index(r, c + 1),
+                    grid_index(r + 1, c),
+                    grid_index(r + 1, c + 1),
+                )
+                tris.append((a, b_, c_))
+                tris.append((b_, d_, c_))
+        tris = np.asarray(tris, np.int64)
+        tri_valid = (
+            (1.0 - removed[variant_ids][:, tris[:, 0]])
+            * (1.0 - removed[variant_ids][:, tris[:, 1]])
+            * (1.0 - removed[variant_ids][:, tris[:, 2]])
+        )
+        self.triangles = jnp.asarray(tris, jnp.int32)
+        self.tri_mask = jnp.asarray(tri_valid)
+        tri_rest = 0.5 * np.linalg.norm(
+            np.cross(local[tris[:, 1]] - local[tris[:, 0]], local[tris[:, 2]] - local[tris[:, 0]]),
+            axis=-1,
+        )
+        self.tri_rest_area = jnp.asarray(tri_rest.astype(np.float32))
 
         # static obs edge set (mesh edges, cloth_edges obs term + distortion)
         all_edges = np.concatenate([e for e, _ in edge_list], axis=0)  # [E,2]
@@ -454,9 +481,18 @@ class ClothEnv:
 
         vel = jnp.linalg.norm(state.scene.particles.vel, axis=-1).mean(axis=-1)
 
-        lengths = self._edge_lengths(parts)
-        deviation = jnp.abs((lengths - self.obs_edge_rest) / self.obs_edge_rest)
-        distortion = (deviation * self.obs_edge_mask).sum(-1) / jnp.maximum(self.obs_edge_mask.sum(-1), 1.0)
+        if cfg.distortion_area_based:
+            # triangle-area deviation (mdp/rewards.py points_distortion area_based)
+            t = self.triangles
+            v1 = parts[:, t[:, 1]] - parts[:, t[:, 0]]
+            v2 = parts[:, t[:, 2]] - parts[:, t[:, 0]]
+            areas = 0.5 * jnp.linalg.norm(jnp.cross(v1, v2), axis=-1)
+            deviation = jnp.abs((areas - self.tri_rest_area) / self.tri_rest_area)
+            distortion = (deviation * self.tri_mask).sum(-1) / jnp.maximum(self.tri_mask.sum(-1), 1.0)
+        else:
+            lengths = self._edge_lengths(parts)
+            deviation = jnp.abs((lengths - self.obs_edge_rest) / self.obs_edge_rest)
+            distortion = (deviation * self.obs_edge_mask).sum(-1) / jnp.maximum(self.obs_edge_mask.sum(-1), 1.0)
 
         act_rate = jnp.sum((action - state.prev_action) ** 2, axis=-1)
         return (

@@ -79,9 +79,20 @@ class RigidGraphBuilder:
     internal_dst: jnp.ndarray
     internal_mask: jnp.ndarray
     point_mask: jnp.ndarray  # [B_env, P]
+    # training noise on positions/velocities (base_data training_noise /
+    # pyg_data/utils.noise_like; configs ship with False)
+    training_noise: bool = False
+    training_noise_std: float = 1e-2
 
     @staticmethod
-    def from_env(env, dist_as_pos: bool = True, angular_velocity: bool = True, knn_k: int = 3):
+    def from_env(
+        env,
+        dist_as_pos: bool = True,
+        angular_velocity: bool = True,
+        knn_k: int = 3,
+        training_noise: bool = False,
+        training_noise_std: float = 1e-2,
+    ):
         """Precompute per-shape kNN topology (native C++ builder when
         available — geometry_rl_tpu.native.knn_graph_batch), then gather per
         env."""
@@ -100,6 +111,8 @@ class RigidGraphBuilder:
             dist_as_pos=dist_as_pos,
             angular_velocity=angular_velocity and has_obj_ang,
             output_mask_key="grippers",
+            training_noise=training_noise,
+            training_noise_std=training_noise_std,
             internal_src=jnp.asarray(src[ids]),
             internal_dst=jnp.asarray(dst[ids]),
             internal_mask=jnp.asarray(mask[ids]),
@@ -112,6 +125,7 @@ class RigidGraphBuilder:
         self,
         tobs: Dict[str, jnp.ndarray],
         env_ids: Optional[jnp.ndarray] = None,
+        noise_key: Optional[jnp.ndarray] = None,
     ) -> Tuple[HeteroGraph, GraphFeatures]:
         """tobs: transformed observation dict (obs_pipeline output) with raw
         `position_vectors` plus `norm_position_vectors` / `norm_velocity_vectors`,
@@ -196,5 +210,13 @@ class RigidGraphBuilder:
                 [grip_npos, jnp.zeros((B, G, 3)), v_grip, w_grip], axis=2
             ),
         }
+        if self.training_noise and noise_key is not None:
+            import jax as _jax
+
+            keys = _jax.random.split(noise_key, len(vectors))
+            vectors = {
+                nt: v + self.training_noise_std * _jax.random.normal(k, v.shape)
+                for (nt, v), k in zip(vectors.items(), keys)
+            }
         feats = GraphFeatures(scalars=one_hot, vectors=vectors)
         return graph, feats
