@@ -113,6 +113,7 @@ class ClothTaskCfg:
     name: str = "cloth_hanging"
     num_envs: int = 40
     num_holes: int = 20  # TRAIN_SIZE placements (scene_cfg.py:172)
+    hole_split: str = "train"  # train | test (scene_cfg.py split_combinations)
     episode_length: int = 100
     decimation: int = 2
     dt: float = 0.01
@@ -180,8 +181,15 @@ class ClothEnv:
         self.cfg = cfg
         B = cfg.num_envs
 
-        # --- hole variants (multi-asset round-robin) -----------------------
-        placements = sample_hole_placements()[: cfg.num_holes]
+        # --- hole variants (multi-asset round-robin; TRAIN first 20 of the 40
+        # seeded placements, TEST the next 20 — scene_cfg.py:161-177) --------
+        all_placements = sample_hole_placements()
+        if cfg.hole_split == "train":
+            placements = all_placements[: cfg.num_holes]
+        elif cfg.hole_split == "test":
+            placements = all_placements[20 : 20 + cfg.num_holes]
+        else:
+            raise ValueError(f"hole_split must be train|test, got {cfg.hole_split!r}")
         removed, boundary = zip(*(build_hole_variant(p) for p in placements))
         removed = np.stack(removed)  # [V, P]
         boundary = np.stack(boundary)  # [V, K]

@@ -129,3 +129,10 @@ def test_cloth_trainer_end_to_end():
     state, metrics = trainer.train_iteration(state)
     assert np.isfinite(float(metrics["loss_objective"]))
     assert np.isfinite(float(metrics["loss_critic"]))
+
+
+def test_hole_train_test_split_disjoint():
+    train = make_env("cloth_hanging", num_envs=2, hole_split="train")
+    test = make_env("cloth_hanging", num_envs=2, hole_split="test")
+    # different hole variants => different removed-particle masks somewhere
+    assert not np.array_equal(np.asarray(train.hole_mask), np.asarray(test.hole_mask))
