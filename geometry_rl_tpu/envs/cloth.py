@@ -114,6 +114,7 @@ class ClothTaskCfg:
     num_envs: int = 40
     num_holes: int = 20  # TRAIN_SIZE placements (scene_cfg.py:172)
     hole_split: str = "train"  # train | test (scene_cfg.py split_combinations)
+    use_pallas_solver: bool = False  # fused VMEM position solve (sim/pallas_cloth.py)
     episode_length: int = 100
     decimation: int = 2
     dt: float = 0.01
@@ -298,6 +299,26 @@ class ClothEnv:
         )
         self.obs_spec = self._build_obs_spec()
 
+        # --- fused Pallas position solver (optional) -------------------------
+        from ..sim.pallas_cloth import ClothSolveSpec
+
+        self.solve_spec = ClothSolveSpec(
+            group_sizes=tuple(int(g.i.shape[0]) for g in self.distance_groups),
+            group_compliance=tuple(float(np.asarray(g.compliance)[0]) for g in self.distance_groups),
+            num_particles=N_PARTICLES,
+            num_bodies=G,
+            iterations=cfg.iterations,
+            dt=cfg.dt,
+            hook_radius=cfg.hanger_radius,
+            hook_half_len=cfg.hanger_half_len,
+            hook_friction=0.2,
+        )
+        topo = []
+        for g in self.distance_groups:
+            topo += [g.i, g.j, g.rest]
+        self.group_topology = topo
+        self.group_mask_list = [g.mask for g in self.distance_groups]
+
     def _build_obs_spec(self) -> ObsSpec:
         E = self.obs_edges.shape[0]
         G, P, K = self.cfg.num_grippers, N_PARTICLES, K_BOUNDARY
@@ -413,6 +434,8 @@ class ClothEnv:
 
     def _physics(self, scene: SceneState, hanger_pos) -> SceneState:
         cfg = self.cfg
+        if cfg.use_pallas_solver:
+            return self._physics_pallas(scene, hanger_pos)
         return step_physics(
             scene,
             self.body_spec,
@@ -424,6 +447,67 @@ class ClothEnv:
             particle_contacts=self._hanger_contacts(hanger_pos),
             iterations=cfg.iterations,
         )
+
+    def _physics_pallas(self, scene: SceneState, hanger_pos, interpret: bool = False) -> SceneState:
+        """Decimation substeps with the fused VMEM position solver.
+
+        Cloth cubes have rotation fully locked and attach at their center of
+        mass, so their rigid dynamics reduce exactly to point-particle
+        dynamics: they are appended as pseudo-particles and the whole solve
+        runs in one Pallas kernel per substep."""
+        from ..sim.pallas_cloth import cloth_position_solve
+
+        cfg = self.cfg
+        B, G = cfg.num_envs, cfg.num_grippers
+        dt = cfg.dt
+        from ..sim.xpbd import GRAVITY
+
+        body_lin_damp = jnp.exp(-self.body_spec.lin_damping * dt)  # [G]
+        part_damp = jnp.exp(-self.particle_spec.lin_damping * dt)
+        inv_all = jnp.concatenate(
+            [self.particle_spec.inv_mass, jnp.broadcast_to(self.body_spec.inv_mass[None], (B, G))], axis=1
+        )
+        att_body_w = jnp.broadcast_to(self.body_spec.inv_mass[None], (B, G))
+
+        def substep(scene, _):
+            bodies, parts = scene.bodies, scene.particles
+            # integrate (matches xpbd_substep: grippers gravity_scale 0)
+            v_b = bodies.lin_vel * body_lin_damp[:, None]
+            prev_b = bodies.pos
+            pos_b = bodies.pos + dt * v_b
+
+            pv = (parts.vel + dt * GRAVITY * (self.particle_spec.inv_mass > 0)[..., None]) * part_damp
+            prev_p = parts.pos
+            x_p = parts.pos + dt * pv
+
+            x = jnp.concatenate([x_p, pos_b], axis=1)
+            prev_x = jnp.concatenate([prev_p, prev_b], axis=1)
+            x = cloth_position_solve(
+                self.solve_spec,
+                x,
+                prev_x,
+                inv_all,
+                hanger_pos,
+                att_body_w,
+                self.corner_indices,
+                self.group_topology,
+                self.group_mask_list,
+                interpret,
+            )
+            new_p, new_b = x[:, : x_p.shape[1]], x[:, x_p.shape[1] :]
+
+            new_scene = SceneState(
+                bodies=bodies._replace(
+                    pos=new_b,
+                    lin_vel=(new_b - prev_b) / dt,
+                    ang_vel=jnp.zeros_like(bodies.ang_vel),
+                ),
+                particles=ParticleState(pos=new_p, vel=(new_p - prev_p) / dt),
+            )
+            return new_scene, None
+
+        scene, _ = jax.lax.scan(substep, scene, None, length=cfg.decimation)
+        return scene
 
     # ------------------------------------------------------------- obs/reward
 

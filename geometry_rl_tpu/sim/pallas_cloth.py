@@ -1,0 +1,205 @@
+"""Fused XPBD position solver as a Pallas TPU kernel.
+
+The XLA solver (sim/xpbd.py) dispatches each constraint-group solve as its own
+fusion: for the cloth task that is iterations(10) x groups(13) = ~130 tiny
+kernels per substep, each round-tripping the particle state through HBM. This
+kernel runs the ENTIRE position solve per environment inside VMEM — one HBM
+read of the predicted state and one write of the solved state ("broadphase,
+constraint projection ... as Pallas kernels", BASELINE.json north star).
+
+Formulation: gripper cubes are appended as pseudo-particles (cloth cubes have
+rotation locked and attach at their center of mass, so their rigid dynamics
+reduce exactly to point dynamics). Constraint math mirrors
+`_solve_distance_group` / `_solve_attachments` / the capsule contact in
+envs/cloth.py bit-for-bit so the golden-trajectory gates stay valid.
+
+Scatter-backs use constraint->particle one-hot matrices built in-kernel from
+`broadcasted_iota` comparisons against index vectors passed as (grid-shared)
+VMEM operands.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class ClothSolveSpec(NamedTuple):
+    """Static solver description (hashable; shapes/constants baked in)."""
+
+    group_sizes: Tuple[int, ...]
+    group_compliance: Tuple[float, ...]
+    num_particles: int  # P (cloth only)
+    num_bodies: int  # G pseudo-particles appended after P
+    iterations: int
+    dt: float
+    hook_radius: float
+    hook_half_len: float
+    hook_friction: float
+
+
+def _one_hot_rows(idx: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
+    """[C] indices -> [C, n] one-hot, built from iota comparisons in-kernel."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return (cols == idx[:, None]).astype(dtype)
+
+
+def _solve_env(spec: ClothSolveSpec, x, prev_x, inv_mass, hanger, att_body_w, att_p, groups):
+    """Position solve for ONE env: x [PT, 3] f32 (PT = P + G).
+
+    groups: list of (i_idx [C], j_idx [C], rest [C], mask [C]) arrays.
+    """
+    PT = spec.num_particles + spec.num_bodies
+    dt2 = spec.dt * spec.dt
+    att_b = spec.num_particles + jnp.arange(spec.num_bodies, dtype=jnp.int32)
+
+    # contact only applies to cloth particles (pseudo-bodies have none)
+    row = jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)[:, 0]
+    contact_mask = (row < spec.num_particles).astype(jnp.float32)[:, None]
+
+    def distance_pass(x, i_idx, j_idx, rest, mask, compliance):
+        oh_i = _one_hot_rows(i_idx, PT, x.dtype)  # [C, PT]
+        oh_j = _one_hot_rows(j_idx, PT, x.dtype)
+        xi = jnp.dot(oh_i, x, preferred_element_type=jnp.float32)  # [C, 3]
+        xj = jnp.dot(oh_j, x, preferred_element_type=jnp.float32)
+        wi = jnp.dot(oh_i, inv_mass[:, None], preferred_element_type=jnp.float32)[:, 0]
+        wj = jnp.dot(oh_j, inv_mass[:, None], preferred_element_type=jnp.float32)[:, 0]
+
+        d = xi - xj
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        n = d / jnp.maximum(dist, 1e-9)[:, None]
+        c = dist - rest
+        alpha = compliance / dt2
+        lam = -c / jnp.maximum(wi + wj + alpha, 1e-12) * mask
+        dx = lam[:, None] * n
+        x = x + jnp.dot(oh_i.T, dx * wi[:, None], preferred_element_type=jnp.float32)
+        x = x - jnp.dot(oh_j.T, dx * wj[:, None], preferred_element_type=jnp.float32)
+        return x
+
+    def attachment_pass(x):
+        # rest-0 distance constraints corner particle <-> cube pseudo-particle,
+        # matching _solve_attachments with local_pos 0 and locked rotation
+        oh_p = _one_hot_rows(att_p, PT, x.dtype)
+        oh_b = _one_hot_rows(att_b, PT, x.dtype)
+        xp = jnp.dot(oh_p, x, preferred_element_type=jnp.float32)
+        xb = jnp.dot(oh_b, x, preferred_element_type=jnp.float32)
+        wp = jnp.dot(oh_p, inv_mass[:, None], preferred_element_type=jnp.float32)[:, 0]
+        wb = att_body_w
+
+        c = xp - xb
+        c_norm = jnp.sqrt(jnp.sum(c * c, axis=-1, keepdims=True))
+        n = c / jnp.maximum(c_norm, 1e-9)
+        lam = -c_norm[:, 0] / jnp.maximum(wp + wb, 1e-12)
+        dx = lam[:, None] * n
+        x = x + jnp.dot(oh_p.T, dx * wp[:, None], preferred_element_type=jnp.float32)
+        x = x - jnp.dot(oh_b.T, dx * wb[:, None], preferred_element_type=jnp.float32)
+        return x
+
+    def contact_pass(x):
+        # capsule along +y from the hanger origin (envs/cloth.py hook_sdf)
+        rel = x - hanger[None, :]
+        y = jnp.clip(rel[:, 1], 0.0, 2 * spec.hook_half_len)
+        d = rel - jnp.stack([jnp.zeros_like(y), y, jnp.zeros_like(y)], axis=-1)
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        phi = dist - spec.hook_radius
+        n = d / jnp.maximum(dist, 1e-9)[:, None]
+        pen = jnp.minimum(phi, 0.0)
+        dx_n = -pen[:, None] * n
+        disp = x - prev_x
+        disp_t = disp - jnp.sum(disp * n, axis=-1, keepdims=True) * n
+        t_norm = jnp.sqrt(jnp.sum(disp_t * disp_t, axis=-1, keepdims=True))
+        scale = jnp.minimum(1.0, spec.hook_friction * (-pen[:, None]) / jnp.maximum(t_norm, 1e-9))
+        active = (phi < 0.0).astype(x.dtype)[:, None] * contact_mask
+        return x + active * (dx_n - scale * disp_t)
+
+    def iteration(_, x):
+        for g, (i_idx, j_idx, rest, mask) in enumerate(groups):
+            x = distance_pass(x, i_idx, j_idx, rest, mask, spec.group_compliance[g])
+        x = attachment_pass(x)
+        x = contact_pass(x)
+        return x
+
+    return jax.lax.fori_loop(0, spec.iterations, iteration, x)
+
+
+def _kernel(spec: ClothSolveSpec, refs):
+    """refs layout: x, prev, inv_mass, hanger, bw, att_p,
+    then per group (i, j, rest, mask), then out."""
+    n_g = len(spec.group_sizes)
+    x_ref, prev_ref, w_ref, hanger_ref, bw_ref, attp_ref = refs[:6]
+    group_refs = refs[6 : 6 + 4 * n_g]
+    out_ref = refs[6 + 4 * n_g]
+
+    groups = []
+    for g in range(n_g):
+        i_ref, j_ref, r_ref, m_ref = group_refs[4 * g : 4 * g + 4]
+        groups.append((i_ref[:], j_ref[:], r_ref[:], m_ref[0]))
+
+    out_ref[0] = _solve_env(
+        spec,
+        x_ref[0],
+        prev_ref[0],
+        w_ref[0],
+        hanger_ref[0],
+        bw_ref[0],
+        attp_ref[:],
+        groups,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 9))
+def cloth_position_solve(
+    spec: ClothSolveSpec,
+    x: jnp.ndarray,  # [B, PT, 3] predicted positions (cloth + cube pseudo-particles)
+    prev_x: jnp.ndarray,  # [B, PT, 3]
+    inv_mass: jnp.ndarray,  # [B, PT]
+    hanger: jnp.ndarray,  # [B, 3]
+    att_body_w: jnp.ndarray,  # [B, G] generalized inv mass of attachment bodies
+    att_particle: jnp.ndarray,  # [G] int32 corner particle indices
+    group_topology: Sequence[jnp.ndarray],  # per group: i [C], j [C], rest [C] interleaved
+    group_masks: Sequence[jnp.ndarray],  # per group [B, C]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, PT, _ = x.shape
+    n_g = len(spec.group_sizes)
+    assert len(group_topology) == 3 * n_g and len(group_masks) == n_g
+
+    def shared(shape):  # grid-independent operand
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
+
+    def batched(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * nd, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        batched((PT, 3)),  # x
+        batched((PT, 3)),  # prev
+        batched((PT,)),  # inv_mass
+        batched((3,)),  # hanger
+        batched((att_body_w.shape[1],)),  # body w
+        shared((att_particle.shape[0],)),  # att particle idx
+    ]
+    operands = [x, prev_x, inv_mass, hanger, att_body_w, att_particle]
+    for g in range(n_g):
+        i_arr, j_arr, r_arr = group_topology[3 * g : 3 * g + 3]
+        m_arr = group_masks[g]
+        in_specs += [shared(i_arr.shape), shared(j_arr.shape), shared(r_arr.shape), batched((m_arr.shape[1],))]
+        operands += [i_arr, j_arr, r_arr, m_arr]
+
+    def kernel(*refs):
+        _kernel(spec, refs)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, PT, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, PT, 3), x.dtype),
+        interpret=interpret,
+    )(*operands)

@@ -136,3 +136,35 @@ def test_hole_train_test_split_disjoint():
     test = make_env("cloth_hanging", num_envs=2, hole_split="test")
     # different hole variants => different removed-particle masks somewhere
     assert not np.array_equal(np.asarray(train.hole_mask), np.asarray(test.hole_mask))
+
+
+def test_pallas_solver_matches_xla():
+    """The fused Pallas position solve (interpret mode on CPU) must reproduce
+    the XLA constraint-solver trajectory."""
+    env_x = make_env("cloth_hanging", num_envs=2)
+    env_p = make_env("cloth_hanging", num_envs=2)
+
+    state_x = env_x.reset(jax.random.PRNGKey(11))
+    state_p = env_p.reset(jax.random.PRNGKey(11))
+    np.testing.assert_allclose(
+        np.asarray(state_x.scene.particles.pos), np.asarray(state_p.scene.particles.pos)
+    )
+
+    action = jnp.ones((2, 24)) * 0.3
+    for _ in range(5):
+        sx = env_x._physics(env_x._apply_action(state_x.scene, action), state_x.hanger_pos)
+        sp = env_p._physics_pallas(
+            env_p._apply_action(state_p.scene, action), state_p.hanger_pos, interpret=True
+        )
+        state_x = state_x._replace(scene=sx)
+        state_p = state_p._replace(scene=sp)
+        np.testing.assert_allclose(
+            np.asarray(state_x.scene.particles.pos),
+            np.asarray(state_p.scene.particles.pos),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_x.scene.bodies.pos),
+            np.asarray(state_p.scene.bodies.pos),
+            atol=2e-4,
+        )
