@@ -105,6 +105,10 @@ class FiberBundleConv(nn.Module):
     channels: int
     widening_factor: int = 4
     use_bias: bool = True
+    # depthwise=True is the only configuration the reference instantiates
+    # (groups == channels); depthwise=False is conv.py's groups=1 variant
+    # (full in->out channel mixing in the fiber conv)
+    depthwise: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,14 +118,20 @@ class FiberBundleConv(nn.Module):
         x_dst = x_dst.astype(self.dtype)
 
         kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="kernel")(kernel_basis)
-        fiber_kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="fiber_kernel")(fiber_basis)
 
         x_j = gather_nodes(x_src, src)  # [B,E,O,C]
         messages = kernel * x_j * edge_mask[..., None, None].astype(self.dtype)
         x_1 = scatter_sum(messages, dst, num_dst)  # [B,Nd,O,C]
 
-        # depthwise fiber (spherical) conv — dense contraction over orientations
-        x_2 = jnp.einsum("bnoc,opc->bnpc", x_1, fiber_kernel, preferred_element_type=self.dtype) / fiber_kernel.shape[-2]
+        # fiber (spherical) conv — dense contraction over orientations
+        if self.depthwise:
+            fiber_kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="fiber_kernel")(fiber_basis)
+            x_2 = jnp.einsum("bnoc,opc->bnpc", x_1, fiber_kernel, preferred_element_type=self.dtype) / fiber_kernel.shape[-2]
+        else:
+            in_c = x_1.shape[-1]
+            fk = nn.Dense(self.channels * in_c, use_bias=False, dtype=self.dtype, name="fiber_kernel")(fiber_basis)
+            fk = fk.reshape(fk.shape[:-1] + (self.channels, in_c))  # [O,P,out,in]
+            x_2 = jnp.einsum("bnoc,opdc->bnpd", x_1, fk, preferred_element_type=self.dtype) / fk.shape[0]
 
         # expose pre-activation stds so a one-shot calibration pass can rescale
         # kernel weights like the reference's first-train-step callibrate()

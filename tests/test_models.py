@@ -378,3 +378,18 @@ def test_meshgraphnet(toy):
     out, latent = model.apply(params, graph, feats)
     assert out.shape == (B, N_GRIP, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hepi_non_depthwise_variant(toy):
+    """conv.py groups=1 (full channel mixing) variant of FiberBundleConv."""
+    from geometry_rl_tpu.models.ponita import FiberBundleConv
+
+    graph, feats = toy
+    es = graph.edges[("object_geometry", "task", "grippers")]
+    conv = FiberBundleConv(channels=16, depthwise=False)
+    x_src = jnp.ones((B, N_OBJ, 4, 16))
+    x_dst = jnp.zeros((B, N_GRIP, 4, 16))
+    params = conv.init(jax.random.PRNGKey(0), x_src, x_dst, es.src, es.dst, es.mask, jnp.ones((B, es.num_edges, 4, 8)), jnp.ones((4, 4, 8)))
+    out = conv.apply(params, x_src, x_dst, es.src, es.dst, es.mask, jnp.ones((B, es.num_edges, 4, 8)), jnp.ones((4, 4, 8)))
+    assert out.shape == (B, N_GRIP, 4, 16)
+    assert np.isfinite(np.asarray(out)).all()
