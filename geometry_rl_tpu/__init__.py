@@ -20,3 +20,6 @@ Layer map (mirrors reference layers, see /root/repo/SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+from .config import load_config, trainer_from_config  # noqa: E402,F401
+from .envs import make_env  # noqa: E402,F401
