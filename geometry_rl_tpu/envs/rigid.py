@@ -253,8 +253,9 @@ class RigidEnv:
             lp_g = jnp.asarray([0.0, 0.0, -0.5 * cfg.gripper_size[2]])
             lp_o = jnp.asarray([0.0, 0.0, cfg.shape_half_height])
         else:
+            # two-agent sticks lie along y: anchor at the stick's inner y-end
             side = 1.0 if i == 0 else -1.0
-            lp_g = jnp.asarray([0.0, -side * 0.5 * cfg.gripper_size[2], 0.0])
+            lp_g = jnp.asarray([0.0, -side * 0.5 * cfg.gripper_size[1], 0.0])
             lp_o = jnp.asarray([0.0, side * cfg.shape_scale, 0.0])
         return lp_g, lp_o
 
