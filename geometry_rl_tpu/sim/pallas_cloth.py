@@ -1,11 +1,17 @@
 """Fused XPBD position solver as a Pallas TPU kernel.
 
 The XLA solver (sim/xpbd.py) dispatches each constraint-group solve as its own
-fusion: for the cloth task that is iterations(10) x groups(13) = ~130 tiny
-kernels per substep, each round-tripping the particle state through HBM. This
-kernel runs the ENTIRE position solve per environment inside VMEM — one HBM
-read of the predicted state and one write of the solved state ("broadphase,
-constraint projection ... as Pallas kernels", BASELINE.json north star).
+fusion; this kernel runs the ENTIRE position solve per environment inside VMEM
+— one HBM read of the predicted state and one write of the solved state.
+
+MEASURED RESULT (v5e, 256 envs): the XLA path wins decisively — 137k vs 4.8k
+env-steps/s. With the one-hot MXU scatter lowering, XLA batches every
+group-solve across all envs at once, while this kernel's one-env-per-program
+grid serializes 130 tiny [C,PT]x[PT,3] matmuls per env (3-lane MXU
+utilization). Kept as a correctness-verified baseline for a batch-tiled
+redesign (PLAN.md: vectorize the env dim INSIDE the kernel, 8+ envs per
+program, coordinates in lanes); the production path remains the XLA solver
+(ClothTaskCfg.use_pallas_solver defaults False).
 
 Formulation: gripper cubes are appended as pseudo-particles (cloth cubes have
 rotation locked and attach at their center of mass, so their rigid dynamics
@@ -138,15 +144,15 @@ def _kernel(spec: ClothSolveSpec, refs):
     groups = []
     for g in range(n_g):
         i_ref, j_ref, r_ref, m_ref = group_refs[4 * g : 4 * g + 4]
-        groups.append((i_ref[:], j_ref[:], r_ref[:], m_ref[0]))
+        groups.append((i_ref[:], j_ref[:], r_ref[:], m_ref[0, :, 0]))
 
     out_ref[0] = _solve_env(
         spec,
         x_ref[0],
         prev_ref[0],
-        w_ref[0],
-        hanger_ref[0],
-        bw_ref[0],
+        w_ref[0, :, 0],
+        hanger_ref[0, :, 0],
+        bw_ref[0, :, 0],
         attp_ref[:],
         groups,
     )
@@ -177,19 +183,28 @@ def cloth_position_solve(
         nd = len(shape)
         return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * nd, memory_space=pltpu.VMEM)
 
+    # Mosaic requires a block's last two dims to be 8/128-divisible OR equal
+    # to the full array dims. Per-env 2-D operands [B, n] would block as
+    # (1, n) — sublane 1 is neither. Reshape them to [B, n, 1]: the trailing
+    # (n, 1) dims then both equal the full array dims.
+    inv_mass3 = inv_mass[..., None]
+    hanger3 = hanger[..., None]
+    att_body_w3 = att_body_w[..., None]
+    group_masks3 = [m[..., None] for m in group_masks]
+
     in_specs = [
         batched((PT, 3)),  # x
         batched((PT, 3)),  # prev
-        batched((PT,)),  # inv_mass
-        batched((3,)),  # hanger
-        batched((att_body_w.shape[1],)),  # body w
+        batched((PT, 1)),  # inv_mass
+        batched((3, 1)),  # hanger
+        batched((att_body_w.shape[1], 1)),  # body w
         shared((att_particle.shape[0],)),  # att particle idx
     ]
-    operands = [x, prev_x, inv_mass, hanger, att_body_w, att_particle]
+    operands = [x, prev_x, inv_mass3, hanger3, att_body_w3, att_particle]
     for g in range(n_g):
         i_arr, j_arr, r_arr = group_topology[3 * g : 3 * g + 3]
-        m_arr = group_masks[g]
-        in_specs += [shared(i_arr.shape), shared(j_arr.shape), shared(r_arr.shape), batched((m_arr.shape[1],))]
+        m_arr = group_masks3[g]
+        in_specs += [shared(i_arr.shape), shared(j_arr.shape), shared(r_arr.shape), batched((m_arr.shape[1], 1))]
         operands += [i_arr, j_arr, r_arr, m_arr]
 
     def kernel(*refs):

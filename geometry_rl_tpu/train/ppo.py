@@ -359,7 +359,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
-    @partial(jax.jit, static_argnums=(0, 2))
+    @partial(jax.jit, static_argnums=(0, 2, 3))
     def eval_rollout(self, state: TrainState, n_steps: int, deterministic: bool = True):
         """Deterministic (mode) rollout returning mean episode reward
         (AgentBuilder.eval_model equivalent, agent.py:87-101)."""

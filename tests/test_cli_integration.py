@@ -1,0 +1,49 @@
+"""End-to-end CLI integration: train -> checkpoints -> play -> eval.json."""
+
+import json
+import os
+
+import pytest
+
+
+def test_train_cli_then_play(tmp_path, monkeypatch):
+    from geometry_rl_tpu.train import cli, play
+
+    monkeypatch.chdir(tmp_path)
+    cli.main(
+        [
+            "--config",
+            "rigid_insertion_multi_hepi_trpl",
+            "--override",
+            "env.num_envs=2",
+            "env.kwargs.episode_length=4",
+            "env.kwargs.warmup_steps=0",
+            "collector.frames_per_batch=8",
+            "collector.total_frames=24",
+            "algorithm.latent_dim=16",
+            "algorithm.num_ori=4",
+            "algorithm.dtype=float32",
+            "algorithm.objective.mini_batch_size=8",
+            "algorithm.objective.ppo_epochs=1",
+            "logger.checkpoint.save_interval=1",
+        ]
+    )
+
+    runs = os.listdir(tmp_path / "logs" / "geometry_rl_tpu")
+    assert len(runs) == 1
+    run_dir = tmp_path / "logs" / "geometry_rl_tpu" / runs[0]
+    assert (run_dir / "metrics.jsonl").exists()
+    assert (run_dir / "hparams.json").exists()
+    assert (run_dir / "checkpoints").is_dir()
+
+    # metrics rows have the reference's key set
+    rows = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    assert len(rows) == 3
+    for key in ("loss_objective", "loss_critic", "loss_trust_region", "kl", "ESS", "entropy"):
+        assert key in rows[0], key
+
+    play.main(["--run-dir", str(run_dir), "--checkpoint", "checkpoints", "--episodes-steps", "8"])
+    evals = json.load(open(run_dir / "eval.json"))
+    assert len(evals) >= 1
+    for v in evals.values():
+        assert v == v  # finite-ish (not NaN) — episodes complete at length 4
