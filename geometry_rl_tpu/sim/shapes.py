@@ -281,6 +281,40 @@ def polygon_sdf_2d(q: jnp.ndarray, verts: jnp.ndarray, vert_mask: jnp.ndarray = 
     return jnp.where(inside, -dist, dist)
 
 
+def polygon_sdf_grad_2d(q: jnp.ndarray, verts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Signed distance AND analytic gradient of 2D points to a padded polygon
+    (pad-by-first-vertex convention, see polygon_sdf_2d).
+
+    grad = (q - q*) / phi where q* is the closest boundary point: for outside
+    points this is the outward unit vector from the boundary; for inside
+    points the sign flip makes it point toward the boundary — exactly
+    d(phi)/dq wherever phi is differentiable.
+    """
+    a = verts
+    b = jnp.roll(verts, -1, axis=0)
+    qe = q[..., None, :]
+    e = b - a
+    w = qe - a
+    ee = jnp.maximum(jnp.sum(e * e, axis=-1), 1e-12)
+    t = jnp.clip(jnp.sum(w * e, axis=-1) / ee, 0.0, 1.0)
+    closest = a + t[..., None] * e  # [..., K, 2]
+    diff = qe - closest
+    d2 = jnp.sum(diff * diff, axis=-1)
+    kmin = jnp.argmin(d2, axis=-1)
+    dist = jnp.sqrt(jnp.take_along_axis(d2, kmin[..., None], axis=-1)[..., 0])
+    qstar = jnp.take_along_axis(closest, kmin[..., None, None], axis=-2)[..., 0, :]
+
+    qy = q[..., None, 1]
+    cond = (a[:, 1] <= qy) != (b[:, 1] <= qy)
+    x_int = a[:, 0] + (qy - a[:, 1]) / jnp.where(jnp.abs(e[:, 1]) < 1e-12, 1e-12, e[:, 1]) * e[:, 0]
+    crossing = cond & (q[..., None, 0] < x_int)
+    inside = jnp.sum(crossing.astype(jnp.int32), axis=-1) % 2 == 1
+
+    phi = jnp.where(inside, -dist, dist)
+    grad = (q - qstar) / jnp.where(jnp.abs(phi) < 1e-9, 1e-9, phi)[..., None]
+    return phi, grad
+
+
 def hole_plate_sdf(
     points_local: jnp.ndarray,
     outline: jnp.ndarray,
@@ -292,44 +326,41 @@ def hole_plate_sdf(
     """SDF of a square plate with a shape-hole, in the plate's local frame.
 
     The solid is: { |x|,|y| <= plate_half_extent, bottom <= z <= top } minus
-    the hole prism { polygon(x,y) < 0 }. Gradient is computed analytically
-    enough for contact normals via finite central differences in-plane.
+    the hole prism { polygon(x,y) < 0 }. Normals are analytic subgradients of
+    the max-composition (one polygon evaluation per query — the previous
+    finite-difference version needed seven).
 
     Returns (phi [...], normal [..., 3]) with phi < 0 inside the solid.
     """
     x, y, z = points_local[..., 0], points_local[..., 1], points_local[..., 2]
     q2 = points_local[..., :2]
+    zeros = jnp.zeros_like(x)
 
-    # slab SDF (plate without hole): max of face distances
+    # slab SDF (plate without hole): max of face distances, with face normals
     dx = jnp.abs(x) - plate_half_extent
     dy = jnp.abs(y) - plate_half_extent
-    dz = jnp.maximum(plate_bottom - z, z - plate_top)
+    z_low = plate_bottom - z
+    z_high = z - plate_top
+    dz = jnp.maximum(z_low, z_high)
+    n_z = jnp.stack([zeros, zeros, jnp.where(z_high >= z_low, 1.0, -1.0)], axis=-1)
     slab = jnp.maximum(jnp.maximum(dx, dy), dz)
+    n_slab = jnp.where(
+        (dx >= dy)[..., None] & (dx >= dz)[..., None],
+        jnp.stack([jnp.sign(x), zeros, zeros], axis=-1),
+        jnp.where((dy >= dz)[..., None], jnp.stack([zeros, jnp.sign(y), zeros], axis=-1), n_z),
+    )
 
-    # hole prism SDF: inside hole when polygon sdf < 0 (any z within slab)
-    poly = polygon_sdf_2d(q2, outline, outline_mask)
+    poly, poly_grad = polygon_sdf_grad_2d(q2, outline)
     # solid = slab \ hole  ->  phi = max(slab, -hole_prism) with
     # hole_prism = max(poly, dz) (prism only exists within the slab's z range)
     hole_prism = jnp.maximum(poly, dz)
+    n_hole = jnp.where(
+        (poly >= dz)[..., None],
+        jnp.concatenate([poly_grad, zeros[..., None]], axis=-1),
+        n_z,
+    )
     phi = jnp.maximum(slab, -hole_prism)
-
-    # normal via finite differences (cheap, robust for polygons)
-    eps = 1e-4
-
-    def phi_at(p):
-        q2p = p[..., :2]
-        dxp = jnp.abs(p[..., 0]) - plate_half_extent
-        dyp = jnp.abs(p[..., 1]) - plate_half_extent
-        dzp = jnp.maximum(plate_bottom - p[..., 2], p[..., 2] - plate_top)
-        slabp = jnp.maximum(jnp.maximum(dxp, dyp), dzp)
-        polyp = polygon_sdf_2d(q2p, outline, outline_mask)
-        return jnp.maximum(slabp, -jnp.maximum(polyp, dzp))
-
-    grads = []
-    for ax in range(3):
-        offset = jnp.zeros(3, points_local.dtype).at[ax].set(eps)
-        grads.append(phi_at(points_local + offset) - phi_at(points_local - offset))
-    n = jnp.stack(grads, axis=-1) / (2 * eps)
+    n = jnp.where((slab >= -hole_prism)[..., None], n_slab, -n_hole)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
     return phi, n
 
