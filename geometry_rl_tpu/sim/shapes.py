@@ -300,9 +300,15 @@ def polygon_sdf_grad_2d(q: jnp.ndarray, verts: jnp.ndarray) -> Tuple[jnp.ndarray
     closest = a + t[..., None] * e  # [..., K, 2]
     diff = qe - closest
     d2 = jnp.sum(diff * diff, axis=-1)
-    kmin = jnp.argmin(d2, axis=-1)
-    dist = jnp.sqrt(jnp.take_along_axis(d2, kmin[..., None], axis=-1)[..., 0])
-    qstar = jnp.take_along_axis(closest, kmin[..., None, None], axis=-2)[..., 0, :]
+    # select the closest point WITHOUT argmin+gather (dynamic gathers
+    # serialize on TPU): reduce to the min then average the (usually unique)
+    # minimizers via a mask
+    d2_min = jnp.min(d2, axis=-1, keepdims=True)
+    dist = jnp.sqrt(d2_min[..., 0])
+    sel = (d2 <= d2_min + 1e-12).astype(q.dtype)
+    qstar = jnp.sum(sel[..., None] * closest, axis=-2) / jnp.maximum(
+        jnp.sum(sel, axis=-1, keepdims=True), 1.0
+    )
 
     qy = q[..., None, 1]
     cond = (a[:, 1] <= qy) != (b[:, 1] <= qy)
