@@ -646,81 +646,69 @@ def rigid_insertion_cfg(num_envs: int = 40, **kw) -> RigidTaskCfg:
 
 
 def rigid_insertion_two_agents_cfg(num_envs: int = 40, **kw) -> RigidTaskCfg:
-    return RigidTaskCfg(
-        name="rigid_insertion_two_agents",
-        num_envs=num_envs,
-        num_grippers=2,
-        linear_only=True,
-        z_action=True,
-        object_free_rot_bits=3,
-        gripper_locked_rot_bits=7,
-        gripper_gravity=False,
-        gripper_size=(0.025, 0.15, 0.025),
-        reward_type="insertion",
-        orientation_weight=0.1,
-        weight_orientation_n_last_steps=7.5,
-        z_weight=0.0,
-        object_xy_range=(0.25, 0.75),
-        object_z_range=(0.5, 1.25),
-        rotate_around_target=True,
-        **kw,
-    )
+    kw.setdefault("num_grippers", 2)
+    kw.setdefault("linear_only", True)
+    kw.setdefault("z_action", True)
+    kw.setdefault("object_free_rot_bits", 3)
+    kw.setdefault("gripper_locked_rot_bits", 7)
+    kw.setdefault("gripper_gravity", False)
+    kw.setdefault("gripper_size", (0.025, 0.15, 0.025))
+    kw.setdefault("reward_type", "insertion")
+    kw.setdefault("orientation_weight", 0.1)
+    kw.setdefault("weight_orientation_n_last_steps", 7.5)
+    kw.setdefault("z_weight", 0.0)
+    kw.setdefault("object_xy_range", (0.25, 0.75))
+    kw.setdefault("object_z_range", (0.5, 1.25))
+    kw.setdefault("rotate_around_target", True)
+    return RigidTaskCfg(name="rigid_insertion_two_agents", num_envs=num_envs, **kw)
 
 
 def rigid_pushing_cfg(num_envs: int = 40, **kw) -> RigidTaskCfg:
-    return RigidTaskCfg(
-        name="rigid_pushing",
-        num_envs=num_envs,
-        shapes=PUSHING_SHAPE_NAMES,
-        attached=False,
-        linear_only=True,
-        z_action=False,
-        object_mass=3.0,
-        object_ang_damping=10.0,
-        object_free_pos_bits=4,  # z locked: planar pushing
-        object_free_rot_bits=3,
-        gripper_locked_rot_bits=7,
-        gripper_gravity=False,
-        gripper_size=(0.5, 0.05, 0.05),
-        has_plate=False,
-        reward_type="pushing",
-        n_last_steps=5,
-        weight_n_last_steps=10.0,
-        orientation_weight=0.1,
-        object_xy_range=(-0.5, 0.5),
-        object_z_range=(0.06, 0.06),  # resting height (planar)
-        target_z=0.06,
-        warmup_steps=0,
-        **kw,
-    )
+    kw.setdefault("shapes", PUSHING_SHAPE_NAMES)
+    kw.setdefault("attached", False)
+    kw.setdefault("linear_only", True)
+    kw.setdefault("z_action", False)
+    kw.setdefault("object_mass", 3.0)
+    kw.setdefault("object_ang_damping", 10.0)
+    kw.setdefault("object_free_pos_bits", 4)
+    kw.setdefault("object_free_rot_bits", 3)
+    kw.setdefault("gripper_locked_rot_bits", 7)
+    kw.setdefault("gripper_gravity", False)
+    kw.setdefault("gripper_size", (0.5, 0.05, 0.05))
+    kw.setdefault("has_plate", False)
+    kw.setdefault("reward_type", "pushing")
+    kw.setdefault("n_last_steps", 5)
+    kw.setdefault("weight_n_last_steps", 10.0)
+    kw.setdefault("orientation_weight", 0.1)
+    kw.setdefault("object_xy_range", (-0.5, 0.5))
+    kw.setdefault("object_z_range", (0.06, 0.06),)
+    kw.setdefault("target_z", 0.06)
+    kw.setdefault("warmup_steps", 0)
+    return RigidTaskCfg(name="rigid_pushing", num_envs=num_envs, **kw)
 
 
 def rigid_sliding_cfg(num_envs: int = 40, **kw) -> RigidTaskCfg:
-    return RigidTaskCfg(
-        name="rigid_sliding",
-        num_envs=num_envs,
-        shapes=("L",),
-        attached=True,
-        linear_only=False,
-        z_action=False,
-        rotation_axis=2,
-        object_mass=1.0,
-        object_ang_damping=10.0,
-        object_free_pos_bits=4,  # z locked
-        object_free_rot_bits=3,
-        has_plate=False,
-        reward_type="sliding",
-        n_last_steps=2,
-        weight_n_last_steps=5.0,
-        orientation_weight=0.5,
-        velocity_weight=-0.1,
-        action_rate_weight=-2e-3,
-        object_xy_range=(-1.0, 1.0),
-        object_z_range=(0.06, 0.06),
-        target_z=0.06,
-        warmup_steps=0,
-        **kw,
-    )
+    kw.setdefault("shapes", ("L",))
+    kw.setdefault("attached", True)
+    kw.setdefault("linear_only", False)
+    kw.setdefault("z_action", False)
+    kw.setdefault("rotation_axis", 2)
+    kw.setdefault("object_mass", 1.0)
+    kw.setdefault("object_ang_damping", 10.0)
+    kw.setdefault("object_free_pos_bits", 4)
+    kw.setdefault("object_free_rot_bits", 3)
+    kw.setdefault("has_plate", False)
+    kw.setdefault("reward_type", "sliding")
+    kw.setdefault("n_last_steps", 2)
+    kw.setdefault("weight_n_last_steps", 5.0)
+    kw.setdefault("orientation_weight", 0.5)
+    kw.setdefault("velocity_weight", -0.1)
+    kw.setdefault("action_rate_weight", -2e-3)
+    kw.setdefault("object_xy_range", (-1.0, 1.0))
+    kw.setdefault("object_z_range", (0.06, 0.06))
+    kw.setdefault("target_z", 0.06)
+    kw.setdefault("warmup_steps", 0)
+    return RigidTaskCfg(name="rigid_sliding", num_envs=num_envs, **kw)
 
 
 TASK_REGISTRY = {

@@ -86,3 +86,27 @@ def test_ppo_algo_variant():
     state, metrics = t.train_iteration(state)
     assert "clip_fraction" in metrics
     assert np.isfinite(float(metrics["loss_objective"]))
+
+
+@pytest.mark.parametrize("task,model", [("rigid_sliding", "hepi"), ("rigid_insertion_two_agents", "hepi"), ("rope_shaping", "hepi"), ("rigid_insertion", "empn"), ("rigid_insertion", "gcn"), ("rigid_insertion", "meshgraphnet")])
+def test_all_tasks_and_models_train(task, model):
+    """Every registered task x a spread of models completes a TRPL iteration."""
+    kwargs = {"episode_length": 4}
+    if task.startswith("rigid"):
+        kwargs["warmup_steps"] = 0
+    if task == "rope_shaping":
+        kwargs.update({"num_links": 10, "rope_length": 1.25})
+    t = build_agent(
+        task=task,
+        model=model,
+        num_envs=2,
+        algo="trpl",
+        latent_dim=16,
+        num_ori=4,
+        train_cfg=TrainConfig(algo="trpl", steps_per_batch=4, ppo_epochs=1, mini_batch_size=8),
+        env_kwargs=kwargs,
+    )
+    state = t.init(jax.random.PRNGKey(0))
+    state, metrics = t.train_iteration(state)
+    assert np.isfinite(float(metrics["loss_objective"])), (task, model)
+    assert np.isfinite(float(metrics["loss_critic"])), (task, model)
