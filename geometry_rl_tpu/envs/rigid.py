@@ -82,7 +82,6 @@ class RigidTaskCfg:
     plate_half_extent: float = 0.4
     plate_half_thickness: float = 0.05
     gripper_size: Tuple[float, float, float] = (0.025, 0.025, 0.5)
-    gripper_offset: float = 0.3  # gripper CoM height above object CoM
 
     # actions (mdp/actions.py + actions_cfg.py)
     num_grippers: int = 1
@@ -314,7 +313,7 @@ class RigidEnv:
 
     # ----------------------------------------------------------------- reset
 
-    def _sample_poses(self, key: jax.Array, B_idx=None):
+    def _sample_poses(self, key: jax.Array):
         """Sample object/gripper/target poses (event_cfg.py randomization)."""
         cfg = self.cfg
         B = cfg.num_envs

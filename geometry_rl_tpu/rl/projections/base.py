@@ -16,6 +16,7 @@ import dataclasses
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..gaussian import (
@@ -126,8 +127,6 @@ class BaseProjection:
     def trust_region_loss(self, p: DiagGaussian, proj_p: DiagGaussian) -> jnp.ndarray:
         """(mean_diff + cov_diff).mean() * coeff against the detached projection
         (base_projection_layer.py:292-327)."""
-        import jax
-
         target = DiagGaussian(jax.lax.stop_gradient(proj_p.mean), jax.lax.stop_gradient(proj_p.std))
         mean_diff, cov_diff = self.trust_region_value(p, target)
         return jnp.mean(mean_diff + cov_diff) * self.trust_region_coeff
