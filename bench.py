@@ -1,9 +1,11 @@
 """Headline benchmark: rigid_insertion collection throughput on TPU.
 
 Measures env-steps/sec of the full collection loop — batched XPBD physics
-(1000 envs, decimation 4), observation extraction, normalization, graph build,
-and the HEPi policy forward — i.e. what the reference's `sampling_time` covers
-(train.py:232). Baseline target: >= 50,000 env-steps/sec (BASELINE.md).
+(decimation 4), observation extraction, normalization, graph build, and the
+HEPi policy forward — i.e. what the reference's `sampling_time` covers
+(train.py:232). Baseline target: >= 50,000 env-steps/sec on v5e-8
+(BASELINE.md). On multi-device hosts the env axis is sharded over all chips
+(the framework's DP layout); on one chip it runs single-device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -59,6 +61,17 @@ def main():
             step, (env_state, obs, norm, key), None, length=SCAN_STEPS
         )
         return env_state, obs, norm, key, rewards.sum()
+
+    # shard the env axis over every available device (no-op on one chip)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and NUM_ENVS % n_dev == 0:
+        from geometry_rl_tpu.parallel import make_mesh, replicated, shard_env_pytree
+
+        mesh = make_mesh()
+        env_state = shard_env_pytree(env_state, mesh, NUM_ENVS)
+        obs = shard_env_pytree(obs, mesh, NUM_ENVS)
+        norm = jax.device_put(norm, replicated(mesh))
+        params = jax.device_put(params, replicated(mesh))
 
     # warmup/compile
     out = collect(env_state, obs, norm, key)
