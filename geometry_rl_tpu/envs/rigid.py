@@ -627,7 +627,12 @@ class RigidEnv:
             prev_action=jnp.where(done[:, None], 0.0, action),
         )
         obs = self._observe(new_state)
-        info = {"episode_step": new_state.episode_step}
+        # pre-reset object->target distance: the task-success diagnostic
+        # (paper-style success = final distance under a threshold)
+        dist = jnp.linalg.norm(
+            scene.bodies.pos[:, cfg.object_body] - scene.bodies.pos[:, cfg.target_body], axis=-1
+        )
+        info = {"episode_step": new_state.episode_step, "object_target_distance": dist}
         return new_state, TimeStep(obs=obs, reward=reward, done=done, info=info)
 
     @partial(jax.jit, static_argnums=0)

@@ -386,3 +386,34 @@ class Trainer:
         carry, _ = jax.lax.scan(step_fn, carry, None, length=n_steps)
         ep_sum, ep_cnt = carry[4], carry[5]
         return ep_sum / jnp.maximum(ep_cnt, 1)
+
+    @partial(jax.jit, static_argnums=(0, 2, 4))
+    def eval_success(self, state: TrainState, n_steps: int, threshold: float = 0.1, deterministic: bool = True):
+        """Success-rate eval for tasks exposing `object_target_distance` info:
+        fraction of episode ends whose final distance is under `threshold`,
+        plus the mean final distance (per-shape analysis via env.shape_ids)."""
+        env = self.env
+        B = env.cfg.num_envs
+
+        def step_fn(carry, _):
+            env_state, obs, key, succ, dist_sum, ends = carry
+            key, k = jax.random.split(key)
+            _, tobs = obs_norm_step(state.norm, obs, update=False)
+            dist = self._policy_dist(state.actor_params, tobs)
+            action = dist.mean if deterministic else G.sample(k, dist)
+            env_state, ts = env.step(env_state, action)
+            d = ts.info["object_target_distance"]
+            done_f = ts.done.astype(d.dtype)
+            succ = succ + (done_f * (d < threshold)).sum()
+            dist_sum = dist_sum + (done_f * d).sum()
+            ends = ends + done_f.sum()
+            return (env_state, ts.obs, key, succ, dist_sum, ends), None
+
+        key = jax.random.fold_in(state.key, 13)
+        env_state = env.reset(key)
+        obs = env.observe(env_state)
+        carry = (env_state, obs, key, jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        carry, _ = jax.lax.scan(step_fn, carry, None, length=n_steps)
+        _, _, _, succ, dist_sum, ends = carry
+        ends = jnp.maximum(ends, 1.0)
+        return {"success_rate": succ / ends, "mean_final_distance": dist_sum / ends}

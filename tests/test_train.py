@@ -110,3 +110,11 @@ def test_all_tasks_and_models_train(task, model):
     state, metrics = t.train_iteration(state)
     assert np.isfinite(float(metrics["loss_objective"])), (task, model)
     assert np.isfinite(float(metrics["loss_critic"])), (task, model)
+
+
+def test_eval_success(trainer):
+    state = trainer.init(jax.random.PRNGKey(5))
+    out = trainer.eval_success(state, n_steps=16, threshold=5.0)
+    # threshold 5.0 -> everything counts as success
+    assert float(out["success_rate"]) == 1.0
+    assert np.isfinite(float(out["mean_final_distance"]))
