@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--steps-per-batch", type=int, default=100)
     ap.add_argument("--mini-batch", type=int, default=1000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-dir", default=None, help="checkpoint the final state here")
+    ap.add_argument("--success-threshold", type=float, default=0.1)
     args = ap.parse_args()
 
     from geometry_rl_tpu.train import TrainConfig
@@ -81,7 +83,19 @@ def main():
         "total_time_s": round(time.time() - t0, 1),
         "env_steps": args.iterations * args.steps_per_batch * args.num_envs,
     }
+    if hasattr(trainer, "eval_success") and args.task.startswith("rigid"):
+        try:
+            ev = trainer.eval_success(state, n_steps=trainer.env.cfg.episode_length * 2, threshold=args.success_threshold)
+            summary["eval_success_rate"] = round(float(ev["success_rate"]), 4)
+            summary["eval_mean_final_distance"] = round(float(ev["mean_final_distance"]), 4)
+        except Exception as e:
+            summary["eval_error"] = str(e)
     print("SUMMARY " + json.dumps(summary), flush=True)
+    if args.save_dir:
+        from geometry_rl_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_dir, args.iterations, state)
+        print(f"checkpointed -> {args.save_dir}", flush=True)
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"history": history, **summary}, f)
