@@ -163,4 +163,6 @@ def trainer_from_config(cfg: Dict):
         proj_type=proj["proj_type"],
         train_cfg=train_cfg,
         env_kwargs=cfg["env"].get("kwargs") or {},
+        training_noise=cfg["algorithm"].get("training_noise", False),
+        training_noise_std=cfg["algorithm"].get("training_noise_std", 1e-2),
     )

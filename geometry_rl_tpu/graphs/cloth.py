@@ -43,9 +43,11 @@ class ClothGraphBuilder:
     dist_as_pos: bool
     output_mask_key: str
     hole_mask: jnp.ndarray  # [B_env, P] 1 = removed particle
+    training_noise: bool = False
+    training_noise_std: float = 1e-2
 
     @staticmethod
-    def from_env(env, dist_as_pos: bool = False, full_graph_obs: bool = False):
+    def from_env(env, dist_as_pos: bool = False, full_graph_obs: bool = False, training_noise: bool = False, training_noise_std: float = 1e-2):
         from ..envs.cloth import K_BOUNDARY, N_PARTICLES
 
         return ClothGraphBuilder(
@@ -57,10 +59,15 @@ class ClothGraphBuilder:
             dist_as_pos=dist_as_pos,
             output_mask_key="grippers",
             hole_mask=env.hole_mask,
+            training_noise=training_noise,
+            training_noise_std=training_noise_std,
         )
 
     def build(
-        self, tobs: Dict[str, jnp.ndarray], env_ids: Optional[jnp.ndarray] = None
+        self,
+        tobs: Dict[str, jnp.ndarray],
+        env_ids: Optional[jnp.ndarray] = None,
+        noise_key: Optional[jnp.ndarray] = None,
     ) -> Tuple[HeteroGraph, GraphFeatures]:
         spec = self.obs_spec
         B = tobs["position_vectors"].shape[0]
@@ -133,4 +140,8 @@ class ClothGraphBuilder:
         }
 
         graph = HeteroGraph(nodes=nodes, edges=edges, output_node_type=self.output_mask_key)
+        if self.training_noise and noise_key is not None:
+            from .rigid import apply_training_noise
+
+            vectors = apply_training_noise(vectors, noise_key, self.training_noise_std)
         return graph, GraphFeatures(scalars=one_hot, vectors=vectors)

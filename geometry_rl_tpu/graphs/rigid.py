@@ -49,6 +49,19 @@ def knn_edges_np(points: np.ndarray, num_valid: int, k: int) -> np.ndarray:
     return np.stack([src, dst], axis=-1)
 
 
+def apply_training_noise(
+    vectors: Dict[str, jnp.ndarray], noise_key: jnp.ndarray, std: float
+) -> Dict[str, jnp.ndarray]:
+    """Gaussian data-augmentation noise on the per-node vector features
+    (pyg_data/utils.py noise_like + base_data training_noise): applied only on
+    training forwards, sampled fresh per update step."""
+    keys = jax.random.split(noise_key, len(vectors))
+    return {
+        nt: v + std * jax.random.normal(k, v.shape, v.dtype)
+        for (nt, v), k in zip(vectors.items(), keys)
+    }
+
+
 def split_group(obs: jnp.ndarray, spec: ObsSpec, group: str) -> Dict[str, jnp.ndarray]:
     """Split a flat group tensor into named terms (BaseData._preprocess_input)."""
     out = {}
@@ -211,12 +224,6 @@ class RigidGraphBuilder:
             ),
         }
         if self.training_noise and noise_key is not None:
-            import jax as _jax
-
-            keys = _jax.random.split(noise_key, len(vectors))
-            vectors = {
-                nt: v + self.training_noise_std * _jax.random.normal(k, v.shape)
-                for (nt, v), k in zip(vectors.items(), keys)
-            }
+            vectors = apply_training_noise(vectors, noise_key, self.training_noise_std)
         feats = GraphFeatures(scalars=one_hot, vectors=vectors)
         return graph, feats

@@ -33,9 +33,11 @@ class RopeGraphBuilder:
     output_mask_key: str
     internal_src: jnp.ndarray  # [E] static chain topology (same for all envs)
     internal_dst: jnp.ndarray
+    training_noise: bool = False
+    training_noise_std: float = 1e-2
 
     @staticmethod
-    def from_env(env, dist_as_pos: bool = True, knn_k: int = 3):
+    def from_env(env, dist_as_pos: bool = True, knn_k: int = 3, training_noise: bool = False, training_noise_std: float = 1e-2):
         cfg = env.cfg
         L = cfg.num_links
         x = np.arange(L, dtype=np.float32) * cfg.link_spacing
@@ -49,10 +51,15 @@ class RopeGraphBuilder:
             output_mask_key="grippers",
             internal_src=jnp.asarray(e[:, 0], jnp.int32),
             internal_dst=jnp.asarray(e[:, 1], jnp.int32),
+            training_noise=training_noise,
+            training_noise_std=training_noise_std,
         )
 
     def build(
-        self, tobs: Dict[str, jnp.ndarray], env_ids: Optional[jnp.ndarray] = None
+        self,
+        tobs: Dict[str, jnp.ndarray],
+        env_ids: Optional[jnp.ndarray] = None,
+        noise_key: Optional[jnp.ndarray] = None,
     ) -> Tuple[HeteroGraph, GraphFeatures]:
         spec = self.obs_spec
         B = tobs["position_vectors"].shape[0]
@@ -109,4 +116,8 @@ class RopeGraphBuilder:
                 [tgt_npos, jnp.zeros((B, L, 3)), jnp.zeros((B, L, 3))], axis=2
             ),
         }
+        if self.training_noise and noise_key is not None:
+            from .rigid import apply_training_noise
+
+            vectors = apply_training_noise(vectors, noise_key, self.training_noise_std)
         return graph, GraphFeatures(scalars=one_hot, vectors=vectors)

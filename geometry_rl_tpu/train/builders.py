@@ -20,15 +20,18 @@ from ..rl.projections import get_projection_layer
 from .ppo import TrainConfig, Trainer
 
 
-def make_graph_builder(env, dist_as_pos: bool):
+def make_graph_builder(env, dist_as_pos: bool, **builder_kw):
     """Pick the task family's data layer (pyg_agent/data group equivalent).
     `dist_as_pos=True` marks the policy builder; the cloth critic additionally
-    keeps the particle nodes (full_graph_obs, cloth hydra config value block)."""
+    keeps the particle nodes (full_graph_obs, cloth hydra config value block).
+    builder_kw forwards training_noise / training_noise_std etc."""
     if isinstance(env, RopeEnv):
-        return RopeGraphBuilder.from_env(env, dist_as_pos=dist_as_pos)
+        return RopeGraphBuilder.from_env(env, dist_as_pos=dist_as_pos, **builder_kw)
     if isinstance(env, ClothEnv):
-        return ClothGraphBuilder.from_env(env, dist_as_pos=dist_as_pos, full_graph_obs=not dist_as_pos)
-    return RigidGraphBuilder.from_env(env, dist_as_pos=dist_as_pos)
+        return ClothGraphBuilder.from_env(
+            env, dist_as_pos=dist_as_pos, full_graph_obs=not dist_as_pos, **builder_kw
+        )
+    return RigidGraphBuilder.from_env(env, dist_as_pos=dist_as_pos, **builder_kw)
 
 # models whose equivariant vector output IS the action mean (post_fc=False,
 # configs/*_hepi/empn_*.yaml policy.post_fc)
@@ -90,6 +93,8 @@ def build_agent(
     proj_type: str = "kl",
     train_cfg: Optional[TrainConfig] = None,
     env_kwargs: Optional[dict] = None,
+    training_noise: bool = False,
+    training_noise_std: float = 1e-2,
     **model_kw,
 ) -> Trainer:
     """AgentBuilder.build equivalent: one call -> ready Trainer."""
@@ -109,6 +114,10 @@ def build_agent(
         critic,
         cfg,
         projection=projection,
-        policy_builder=make_graph_builder(env, dist_as_pos=True),
-        critic_builder=make_graph_builder(env, dist_as_pos=False),
+        policy_builder=make_graph_builder(
+            env, dist_as_pos=True, training_noise=training_noise, training_noise_std=training_noise_std
+        ),
+        critic_builder=make_graph_builder(
+            env, dist_as_pos=False, training_noise=training_noise, training_noise_std=training_noise_std
+        ),
     )

@@ -156,12 +156,18 @@ class Trainer:
 
     # --------------------------------------------------------------- forward
 
-    def _policy_dist(self, params, tobs, env_ids=None) -> G.DiagGaussian:
-        graph, feats = self.policy_builder.build(tobs, env_ids)
+    def _policy_dist(self, params, tobs, env_ids=None, noise_key=None) -> G.DiagGaussian:
+        if noise_key is not None and getattr(self.policy_builder, "training_noise", False):
+            graph, feats = self.policy_builder.build(tobs, env_ids, noise_key=noise_key)
+        else:
+            graph, feats = self.policy_builder.build(tobs, env_ids)
         return self.policy.apply(params, graph, feats)
 
-    def _value(self, params, tobs, env_ids=None) -> jnp.ndarray:
-        graph, feats = self.critic_builder.build(tobs, env_ids)
+    def _value(self, params, tobs, env_ids=None, noise_key=None) -> jnp.ndarray:
+        if noise_key is not None and getattr(self.critic_builder, "training_noise", False):
+            graph, feats = self.critic_builder.build(tobs, env_ids, noise_key=noise_key)
+        else:
+            graph, feats = self.critic_builder.build(tobs, env_ids)
         return self.critic.apply(params, graph, feats)
 
     # --------------------------------------------------------------- collect
@@ -222,8 +228,16 @@ class Trainer:
 
     def _minibatch_loss(self, actor_params, critic_params, mb, num_updates):
         cfg = self.cfg
-        dist = self._policy_dist(actor_params, mb["tobs"], mb["env_ids"])
-        value = self._value(critic_params, mb["tobs"], mb["env_ids"])
+        # training-noise augmentation (base_data training_noise): fresh draw
+        # per network update, applied only on training forwards
+        nk_a = nk_c = None
+        if getattr(self.policy_builder, "training_noise", False) or getattr(
+            self.critic_builder, "training_noise", False
+        ):
+            nk = jax.random.fold_in(jax.random.PRNGKey(0x6E015E), num_updates)
+            nk_a, nk_c = jax.random.split(nk)
+        dist = self._policy_dist(actor_params, mb["tobs"], mb["env_ids"], noise_key=nk_a)
+        value = self._value(critic_params, mb["tobs"], mb["env_ids"], noise_key=nk_c)
         inputs = LossInputs(
             action=mb["action"],
             sample_log_prob=mb["log_prob"],

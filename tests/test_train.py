@@ -118,3 +118,45 @@ def test_eval_success(trainer):
     # threshold 5.0 -> everything counts as success
     assert float(out["success_rate"]) == 1.0
     assert np.isfinite(float(out["mean_final_distance"]))
+
+
+def test_training_noise_augmentation():
+    """training_noise perturbs training forwards (pyg_data/utils.noise_like):
+    the same minibatch yields different losses at different update counters,
+    and the iteration still runs finite end to end."""
+    t = build_agent(
+        task="rigid_insertion",
+        model="hepi",
+        num_envs=2,
+        algo="trpl",
+        latent_dim=16,
+        num_ori=4,
+        train_cfg=TrainConfig(algo="trpl", steps_per_batch=4, ppo_epochs=1, mini_batch_size=8),
+        env_kwargs={"warmup_steps": 0, "episode_length": 4},
+        training_noise=True,
+        training_noise_std=0.05,
+    )
+    assert t.policy_builder.training_noise and t.critic_builder.training_noise
+    state = t.init(jax.random.PRNGKey(0))
+    state, batch, _ = t._collect(state)
+
+    T, B = 4, 2
+    flat = lambda x: x.reshape((T * B,) + x.shape[2:])
+    mb = {
+        "tobs": jax.tree_util.tree_map(flat, batch.tobs),
+        "action": flat(batch.action),
+        "log_prob": flat(batch.log_prob),
+        "mean": flat(batch.mean),
+        "std": flat(batch.std),
+        "value": flat(batch.value),
+        "advantage": jnp.ones(T * B),
+        "value_target": jnp.zeros(T * B),
+        "env_ids": jnp.tile(jnp.arange(B, dtype=jnp.int32), T),
+    }
+    l0, _ = t._minibatch_loss(state.actor_params, state.critic_params, mb, jnp.asarray(0))
+    l0b, _ = t._minibatch_loss(state.actor_params, state.critic_params, mb, jnp.asarray(0))
+    l1, _ = t._minibatch_loss(state.actor_params, state.critic_params, mb, jnp.asarray(1))
+    assert float(l0) == float(l0b)  # deterministic given the update counter
+    assert float(l0) != float(l1)  # noise redrawn per update
+    state, metrics = t.train_iteration(state)
+    assert np.isfinite(float(metrics["loss_objective"]))
