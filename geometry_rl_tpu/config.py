@@ -38,6 +38,8 @@ DEFAULTS: Dict[str, Any] = {
         "latent_dim": 64,
         "num_ori": 16,
         "dtype": "bfloat16",  # model activation dtype on TPU (f32 params)
+        "training_noise": False,  # pyg_data/utils.noise_like augmentation
+        "training_noise_std": 1e-2,
         "policy": {
             "contextual_std": True,
             "share_action_dim": True,
@@ -92,6 +94,22 @@ def _merge(base: Dict, override: Dict) -> Dict:
     return out
 
 
+def warn_unknown_overrides(cfg: Dict, overrides: Dict, _path: str = "") -> None:
+    """Print a warning for override keys absent from the composed config —
+    silent typos (e.g. `algorithm.trainig_noise=true`) otherwise no-op.
+    `env.kwargs` is open-ended (per-task env constructor kwargs) and skipped."""
+    import sys
+
+    for k, v in (overrides or {}).items():
+        path = f"{_path}.{k}" if _path else k
+        if k not in cfg:
+            if _path.endswith("kwargs"):
+                continue
+            print(f"[config] WARNING: override key '{path}' is not a known config key", file=sys.stderr)
+        elif isinstance(v, dict) and isinstance(cfg.get(k), dict):
+            warn_unknown_overrides(cfg[k], v, path)
+
+
 def load_config(path_or_name: Optional[str] = None, overrides: Optional[Dict] = None) -> Dict:
     cfg = copy.deepcopy(DEFAULTS)
     if path_or_name:
@@ -104,6 +122,7 @@ def load_config(path_or_name: Optional[str] = None, overrides: Optional[Dict] = 
             file_cfg = yaml.safe_load(f) or {}
         cfg = _merge(cfg, file_cfg)
     if overrides:
+        warn_unknown_overrides(cfg, overrides)
         cfg = _merge(cfg, overrides)
     return cfg
 
