@@ -65,6 +65,12 @@ DEFAULTS: Dict[str, Any] = {
             "mean_bound": 0.05,
             "cov_bound": 0.0025,
             "trust_region_coeff": 1.0,
+            # entropy projection (base_projection_layer schedules; None = off)
+            "entropy_schedule": None,  # null | "linear" | "exp"
+            "target_entropy": 0.0,
+            "temperature": 0.5,
+            "entropy_eq": False,
+            "entropy_first": False,
         },
         "optim": {
             "lr": 3e-4,
@@ -180,6 +186,11 @@ def trainer_from_config(cfg: Dict):
         cov_bound=proj["cov_bound"],
         trust_region_coeff=proj["trust_region_coeff"],
         proj_type=proj["proj_type"],
+        entropy_schedule=proj.get("entropy_schedule"),
+        target_entropy=proj.get("target_entropy", 0.0),
+        temperature=proj.get("temperature", 0.5),
+        entropy_eq=proj.get("entropy_eq", False),
+        entropy_first=proj.get("entropy_first", False),
         train_cfg=train_cfg,
         env_kwargs=cfg["env"].get("kwargs") or {},
         training_noise=cfg["algorithm"].get("training_noise", False),

@@ -79,6 +79,7 @@ def trpl_loss(
     inputs: LossInputs,
     projection: BaseProjection,
     step=0,
+    initial_entropy=None,
     *,
     entropy_coef: float = 0.005,
     critic_coef: float = 0.5,
@@ -97,7 +98,7 @@ def trpl_loss(
     if normalize_advantage:
         advantage = _normalize_advantage(advantage)
 
-    proj_dist = projection(new_dist, old_dist, step)
+    proj_dist = projection(new_dist, old_dist, step, initial_entropy=initial_entropy)
 
     log_prob = G.log_prob(proj_dist, inputs.action)
     log_weight = log_prob - inputs.sample_log_prob

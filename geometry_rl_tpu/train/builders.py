@@ -95,19 +95,34 @@ def build_agent(
     env_kwargs: Optional[dict] = None,
     training_noise: bool = False,
     training_noise_std: float = 1e-2,
+    entropy_schedule: Optional[str] = None,
+    target_entropy: float = 0.0,
+    temperature: float = 0.5,
+    entropy_eq: bool = False,
+    entropy_first: bool = False,
     **model_kw,
 ) -> Trainer:
     """AgentBuilder.build equivalent: one call -> ready Trainer."""
     env = make_env(task, num_envs=num_envs, **(env_kwargs or {}))
     policy = build_policy(model, env, latent_dim=latent_dim, num_ori=num_ori, **model_kw)
     critic = build_critic(latent_dim=latent_dim, dtype=model_kw.get("dtype"))
+    cfg = train_cfg or TrainConfig(algo=algo)
+    # entropy schedules count network updates (the projection's `step` input)
+    n_mb = max(1, cfg.steps_per_batch * num_envs // cfg.mini_batch_size)
+    total_network_updates = cfg.total_iterations * cfg.ppo_epochs * n_mb
     projection = get_projection_layer(
         proj_type if algo == "trpl" else "ppo",
         mean_bound=mean_bound,
         cov_bound=cov_bound,
         trust_region_coeff=trust_region_coeff,
+        entropy_schedule_type=entropy_schedule,
+        target_entropy=target_entropy,
+        temperature=temperature,
+        entropy_eq=entropy_eq,
+        entropy_first=entropy_first,
+        action_dim=env.cfg.action_dim,
+        total_train_steps=total_network_updates,
     )
-    cfg = train_cfg or TrainConfig(algo=algo)
     return Trainer(
         env,
         policy,

@@ -66,6 +66,8 @@ class TrainState(NamedTuple):
     obs: Dict[str, jnp.ndarray]  # raw obs of the current env state
     key: jax.Array
     num_updates: jnp.ndarray  # network update counter (annealing + proj step)
+    initial_entropy: jnp.ndarray  # mean policy entropy at init (entropy schedule e0,
+    # base_projection_layer initial_entropy — frozen after trainer.init)
 
 
 class Batch(NamedTuple):
@@ -136,6 +138,8 @@ class Trainer:
         g_p, f_p = self.policy_builder.build(tobs)
         actor_params = self.policy.init(k_actor, g_p, f_p)
         actor_params = calibrate(self.policy, actor_params, g_p, f_p)
+        dist0 = self.policy.apply(actor_params, g_p, f_p)
+        initial_entropy = G.entropy(dist0).mean()
         g_c, f_c = self.critic_builder.build(tobs)
         critic_params = self.critic.init(k_critic, g_c, f_c)
         critic_params = calibrate(self.critic, critic_params, g_c, f_c)
@@ -152,6 +156,7 @@ class Trainer:
             obs=obs,
             key=k_rest,
             num_updates=jnp.zeros((), jnp.int32),
+            initial_entropy=initial_entropy,
         )
 
     # --------------------------------------------------------------- forward
@@ -226,7 +231,7 @@ class Trainer:
 
     # ---------------------------------------------------------------- update
 
-    def _minibatch_loss(self, actor_params, critic_params, mb, num_updates):
+    def _minibatch_loss(self, actor_params, critic_params, mb, num_updates, initial_entropy=None):
         cfg = self.cfg
         # training-noise augmentation (base_data training_noise): fresh draw
         # per network update, applied only on training forwards
@@ -254,6 +259,7 @@ class Trainer:
                 inputs,
                 self.projection,
                 step=num_updates,
+                initial_entropy=initial_entropy,
                 entropy_coef=cfg.entropy_coef,
                 critic_coef=cfg.critic_coef,
                 clip_value=cfg.clip_value,
@@ -323,7 +329,9 @@ class Trainer:
             def mb_fn(carry, idx):
                 actor_params, critic_params, actor_opt, critic_opt, num_updates = carry
                 mb = jax.tree_util.tree_map(lambda x: x[idx], data)
-                (g_actor, g_critic), metrics = grad_fn(actor_params, critic_params, mb, num_updates)
+                (g_actor, g_critic), metrics = grad_fn(
+                    actor_params, critic_params, mb, num_updates, state.initial_entropy
+                )
                 a_up, actor_opt = self.actor_tx.update(g_actor, actor_opt, actor_params)
                 c_up, critic_opt = self.critic_tx.update(g_critic, critic_opt, critic_params)
                 actor_params = optax.apply_updates(actor_params, a_up)

@@ -160,3 +160,44 @@ def test_training_noise_augmentation():
     assert float(l0) != float(l1)  # noise redrawn per update
     state, metrics = t.train_iteration(state)
     assert np.isfinite(float(metrics["loss_objective"]))
+
+
+def test_entropy_schedule_end_to_end():
+    """Entropy schedule (base_projection_layer exp schedule): the projected
+    dist's entropy is pushed toward the schedule bound; trainer init records
+    the first-batch policy entropy (initial_entropy e0) and training runs."""
+    t = build_agent(
+        task="rigid_insertion",
+        model="hepi",
+        num_envs=2,
+        algo="trpl",
+        latent_dim=16,
+        num_ori=4,
+        train_cfg=TrainConfig(algo="trpl", steps_per_batch=4, ppo_epochs=1, mini_batch_size=8, total_iterations=2),
+        env_kwargs={"warmup_steps": 0, "episode_length": 4},
+        entropy_schedule="exp",
+        target_entropy=-2.0,
+        temperature=0.5,
+    )
+    assert t.projection.entropy_schedule_type == "exp"
+    assert t.projection.total_train_steps == 2 * 1 * 1  # iters x epochs x minibatches
+    assert t.projection.action_dim == t.env.cfg.action_dim
+    state = t.init(jax.random.PRNGKey(0))
+    assert np.isfinite(float(state.initial_entropy))
+    state, metrics = t.train_iteration(state)
+    assert np.isfinite(float(metrics["loss_objective"]))
+    assert np.isfinite(float(metrics["entropy"]))
+
+    # at step = total_train_steps the exp schedule reaches dim * target
+    from geometry_rl_tpu.rl import gaussian as G
+    from geometry_rl_tpu.rl.projections.base import entropy_equality_projection
+
+    bound = t.projection.entropy_bound(
+        jnp.asarray(t.projection.total_train_steps), state.initial_entropy, jnp.float32
+    )
+    dim_tgt = t.env.cfg.action_dim * -2.0
+    expected = dim_tgt + (float(state.initial_entropy) - dim_tgt) * 0.5**10
+    assert np.isclose(float(bound), expected, rtol=1e-5)
+    d = G.DiagGaussian(jnp.zeros((3, t.env.cfg.action_dim)), jnp.ones((3, t.env.cfg.action_dim)))
+    proj = entropy_equality_projection(d, bound)
+    assert np.allclose(np.asarray(G.entropy(proj)), float(bound), rtol=1e-4)
