@@ -627,7 +627,17 @@ class ClothEnv:
             prev_action=jnp.where(d1, 0.0, action),
         )
         obs = self._observe(new_state)
-        return new_state, TimeStep(obs=obs, reward=reward, done=done, info={"episode_step": new_state.episode_step})
+        # success metric: hole centroid -> hook distance at this step (pre-reset
+        # state), consumed by Trainer.eval_success / scripts/eval_breakdown.py
+        hole_dist = jnp.linalg.norm(
+            self._hole_centroid(stepped.scene.particles.pos) - stepped.hanger_pos, axis=-1
+        )
+        return new_state, TimeStep(
+            obs=obs,
+            reward=reward,
+            done=done,
+            info={"episode_step": new_state.episode_step, "object_target_distance": hole_dist},
+        )
 
     @partial(jax.jit, static_argnums=0)
     def observe(self, state: ClothEnvState) -> Dict[str, jnp.ndarray]:

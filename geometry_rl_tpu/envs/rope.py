@@ -437,7 +437,22 @@ class RopeEnv:
             prev_action=jnp.where(d1, 0.0, action),
         )
         obs = self._observe(new_state)
-        return new_state, TimeStep(obs=obs, reward=reward, done=done, info={"episode_step": new_state.episode_step})
+        # success metric (pre-reset state): closing -> gripper-gripper planar
+        # gap; shaping -> RMS shape-descriptor error vs the target curve
+        if cfg.is_shaping:
+            target = self._target_points(stepped)
+            cur_d = jax.vmap(shape_descriptor)(stepped.scene.particles.pos[..., :2])
+            tgt_d = jax.vmap(shape_descriptor)(target[..., :2])
+            task_dist = jnp.sqrt(jnp.mean((cur_d - tgt_d) ** 2, axis=-1))
+        else:
+            grip = stepped.scene.bodies.pos
+            task_dist = jnp.linalg.norm(grip[:, 0, :2] - grip[:, 1, :2], axis=-1)
+        return new_state, TimeStep(
+            obs=obs,
+            reward=reward,
+            done=done,
+            info={"episode_step": new_state.episode_step, "object_target_distance": task_dist},
+        )
 
     @partial(jax.jit, static_argnums=0)
     def observe(self, state: RopeEnvState) -> Dict[str, jnp.ndarray]:

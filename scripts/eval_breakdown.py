@@ -63,21 +63,22 @@ def main():
     dones = np.asarray(dones)  # [T, B]
     dists = np.asarray(dists)
 
-    shape_ids = np.asarray(env.shape_ids)
-    names = env.shape_set.names
     report = {}
     final_d = dists[dones.astype(bool)]
-    final_shape = np.broadcast_to(shape_ids, dones.shape)[dones.astype(bool)]
-    for s, name in enumerate(names):
-        sel = final_shape == s
-        if sel.sum() == 0:
-            continue
-        d = final_d[sel]
-        report[name] = {
-            "episodes": int(sel.sum()),
-            "mean_final_distance": round(float(d.mean()), 4),
-            "success_rate": round(float((d < args.threshold).mean()), 4),
-        }
+    if hasattr(env, "shape_ids"):  # multi-asset rigid tasks: per-shape split
+        shape_ids = np.asarray(env.shape_ids)
+        names = env.shape_set.names
+        final_shape = np.broadcast_to(shape_ids, dones.shape)[dones.astype(bool)]
+        for s, name in enumerate(names):
+            sel = final_shape == s
+            if sel.sum() == 0:
+                continue
+            d = final_d[sel]
+            report[name] = {
+                "episodes": int(sel.sum()),
+                "mean_final_distance": round(float(d.mean()), 4),
+                "success_rate": round(float((d < args.threshold).mean()), 4),
+            }
     overall = {
         "episodes": int(dones.sum()),
         "mean_final_distance": round(float(final_d.mean()), 4),

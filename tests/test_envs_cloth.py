@@ -168,3 +168,15 @@ def test_pallas_solver_matches_xla():
             np.asarray(state_p.scene.bodies.pos),
             atol=2e-4,
         )
+
+
+def test_object_target_distance_info(env):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    state = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.zeros((env.cfg.num_envs, env.cfg.action_dim)))
+    d = np.asarray(ts.info["object_target_distance"])
+    assert d.shape == (env.cfg.num_envs,)
+    assert np.isfinite(d).all() and (d > 0).all()

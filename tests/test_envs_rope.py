@@ -125,3 +125,15 @@ def test_rope_trainer_end_to_end():
     state, metrics = trainer.train_iteration(state)
     assert np.isfinite(float(metrics["loss_objective"]))
     assert np.isfinite(float(metrics["loss_critic"]))
+
+
+def test_object_target_distance_info():
+    import numpy as np
+
+    for task, kw in [("rope_closing", {}), ("rope_shaping", {"num_links": 10, "rope_length": 1.25})]:
+        env = make_env(task, num_envs=B, episode_length=8, **kw)
+        state = env.reset(jax.random.PRNGKey(0))
+        state, ts = env.step(state, jnp.zeros((B, env.cfg.action_dim)))
+        d = np.asarray(ts.info["object_target_distance"])
+        assert d.shape == (B,), task
+        assert np.isfinite(d).all(), task
