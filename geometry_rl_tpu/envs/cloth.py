@@ -114,7 +114,9 @@ class ClothTaskCfg:
     num_envs: int = 40
     num_holes: int = 20  # TRAIN_SIZE placements (scene_cfg.py:172)
     hole_split: str = "train"  # train | test (scene_cfg.py split_combinations)
-    use_pallas_solver: bool = False  # fused VMEM position solve (sim/pallas_cloth.py)
+    # fused VMEM position solve (sim/pallas_cloth.py): False = XLA path,
+    # True = one-env-per-program kernel, "tiled" = env-in-lanes batch tiles
+    use_pallas_solver: object = False
     episode_length: int = 100
     decimation: int = 2
     dt: float = 0.01
@@ -455,8 +457,9 @@ class ClothEnv:
         mass, so their rigid dynamics reduce exactly to point-particle
         dynamics: they are appended as pseudo-particles and the whole solve
         runs in one Pallas kernel per substep."""
-        from ..sim.pallas_cloth import cloth_position_solve
+        from ..sim.pallas_cloth import cloth_position_solve, cloth_position_solve_tiled
 
+        solve = cloth_position_solve_tiled if self.cfg.use_pallas_solver == "tiled" else cloth_position_solve
         cfg = self.cfg
         B, G = cfg.num_envs, cfg.num_grippers
         dt = cfg.dt
@@ -482,7 +485,7 @@ class ClothEnv:
 
             x = jnp.concatenate([x_p, pos_b], axis=1)
             prev_x = jnp.concatenate([prev_p, prev_b], axis=1)
-            x = cloth_position_solve(
+            x = solve(
                 self.solve_spec,
                 x,
                 prev_x,

@@ -158,6 +158,196 @@ def _kernel(spec: ClothSolveSpec, refs):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch-tiled redesign: envs in LANES
+# ---------------------------------------------------------------------------
+
+
+def _solve_tile(spec: ClothSolveSpec, xs, prevs, W, hanger, bw, att_p, groups):
+    """Position solve for a TILE of envs, coordinates unrolled.
+
+    xs/prevs: 3-tuple of [PT, BT] (x/y/z planes); W: [PT, BT] inverse masses;
+    hanger: [3, BT]; bw: [G, BT]; groups: (i_idx [C], j_idx [C], rest [C],
+    mask [C, BT]) per conflict-free group.
+
+    Every gather/scatter is a [C, PT] x [PT, BT] (resp. [PT, C] x [C, BT])
+    matmul with the env tile in lanes — full-width MXU instead of the 3-lane
+    contractions of the one-env-per-program kernel above.
+    """
+    PT = spec.num_particles + spec.num_bodies
+    dt2 = spec.dt * spec.dt
+
+    # hoisted per-group constants: one-hots and endpoint inverse masses
+    dgroups = []
+    for g, (i_idx, j_idx, rest, mask) in enumerate(groups):
+        oh_i = _one_hot_rows(i_idx, PT, W.dtype)  # [C, PT]
+        oh_j = _one_hot_rows(j_idx, PT, W.dtype)
+        wi = jnp.dot(oh_i, W, preferred_element_type=jnp.float32)  # [C, BT]
+        wj = jnp.dot(oh_j, W, preferred_element_type=jnp.float32)
+        denom = jnp.maximum(wi + wj + spec.group_compliance[g] / dt2, 1e-12)
+        dgroups.append((oh_i, oh_j, rest[:, None], mask, wi, wj, denom))
+
+    att_b = spec.num_particles + jnp.arange(spec.num_bodies, dtype=jnp.int32)
+    oh_p = _one_hot_rows(att_p, PT, W.dtype)  # [G, PT]
+    oh_b = _one_hot_rows(att_b, PT, W.dtype)
+    wp = jnp.dot(oh_p, W, preferred_element_type=jnp.float32)  # [G, BT]
+    att_denom = jnp.maximum(wp + bw, 1e-12)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0)
+    contact_mask = (row < spec.num_particles).astype(jnp.float32)  # [PT, 1]
+
+    def gather3(oh, xs):
+        return tuple(jnp.dot(oh, x, preferred_element_type=jnp.float32) for x in xs)
+
+    def distance_pass(xs, oh_i, oh_j, rest, mask, wi, wj, denom):
+        xi = gather3(oh_i, xs)  # 3 x [C, BT]
+        xj = gather3(oh_j, xs)
+        d = tuple(a - b for a, b in zip(xi, xj))
+        dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        inv = 1.0 / jnp.maximum(dist, 1e-9)
+        lam = -(dist - rest) * mask / denom  # [C, BT]
+        li, lj = lam * wi * inv, lam * wj * inv
+        return tuple(
+            x
+            + jnp.dot(oh_i.T, li * dk, preferred_element_type=jnp.float32)
+            - jnp.dot(oh_j.T, lj * dk, preferred_element_type=jnp.float32)
+            for x, dk in zip(xs, d)
+        )
+
+    def attachment_pass(xs):
+        xp = gather3(oh_p, xs)
+        xb = gather3(oh_b, xs)
+        c = tuple(a - b for a, b in zip(xp, xb))
+        c_norm = jnp.sqrt(c[0] * c[0] + c[1] * c[1] + c[2] * c[2])
+        inv = 1.0 / jnp.maximum(c_norm, 1e-9)
+        lam = -c_norm / att_denom
+        lp, lb = lam * wp * inv, lam * bw * inv
+        return tuple(
+            x
+            + jnp.dot(oh_p.T, lp * ck, preferred_element_type=jnp.float32)
+            - jnp.dot(oh_b.T, lb * ck, preferred_element_type=jnp.float32)
+            for x, ck in zip(xs, c)
+        )
+
+    def contact_pass(xs):
+        h = tuple(hanger[k][None, :] for k in range(3))  # [1, BT]
+        rel1 = xs[1] - h[1]
+        y = jnp.clip(rel1, 0.0, 2 * spec.hook_half_len)
+        d = (xs[0] - h[0], rel1 - y, xs[2] - h[2])  # [PT, BT]
+        dist = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        inv = 1.0 / jnp.maximum(dist, 1e-9)
+        n = tuple(dk * inv for dk in d)
+        phi = dist - spec.hook_radius
+        pen = jnp.minimum(phi, 0.0)
+        disp = tuple(x - p for x, p in zip(xs, prevs))
+        dot = disp[0] * n[0] + disp[1] * n[1] + disp[2] * n[2]
+        disp_t = tuple(dk - dot * nk for dk, nk in zip(disp, n))
+        t_norm = jnp.sqrt(disp_t[0] ** 2 + disp_t[1] ** 2 + disp_t[2] ** 2)
+        scale = jnp.minimum(1.0, spec.hook_friction * (-pen) / jnp.maximum(t_norm, 1e-9))
+        active = (phi < 0.0).astype(xs[0].dtype) * contact_mask
+        return tuple(
+            x + active * (-pen * nk - scale * tk) for x, nk, tk in zip(xs, n, disp_t)
+        )
+
+    def iteration(_, xs):
+        for dg in dgroups:
+            xs = distance_pass(xs, *dg)
+        xs = attachment_pass(xs)
+        xs = contact_pass(xs)
+        return xs
+
+    return jax.lax.fori_loop(0, spec.iterations, iteration, xs)
+
+
+def _kernel_tiled(spec: ClothSolveSpec, refs):
+    n_g = len(spec.group_sizes)
+    x_ref, prev_ref, w_ref, hanger_ref, bw_ref, attp_ref = refs[:6]
+    group_refs = refs[6 : 6 + 4 * n_g]
+    out_ref = refs[6 + 4 * n_g]
+
+    groups = []
+    for g in range(n_g):
+        i_ref, j_ref, r_ref, m_ref = group_refs[4 * g : 4 * g + 4]
+        groups.append((i_ref[:], j_ref[:], r_ref[:], m_ref[:]))
+
+    xall, pall = x_ref[:], prev_ref[:]
+    xs = _solve_tile(
+        spec,
+        (xall[0], xall[1], xall[2]),
+        (pall[0], pall[1], pall[2]),
+        w_ref[:],
+        hanger_ref[:],
+        bw_ref[:],
+        attp_ref[:],
+        groups,
+    )
+    out_ref[:] = jnp.stack(xs)
+
+
+@partial(jax.jit, static_argnums=(0, 9))
+def cloth_position_solve_tiled(
+    spec: ClothSolveSpec,
+    x: jnp.ndarray,  # [B, PT, 3]
+    prev_x: jnp.ndarray,  # [B, PT, 3]
+    inv_mass: jnp.ndarray,  # [B, PT]
+    hanger: jnp.ndarray,  # [B, 3]
+    att_body_w: jnp.ndarray,  # [B, G]
+    att_particle: jnp.ndarray,  # [G] int32
+    group_topology: Sequence[jnp.ndarray],
+    group_masks: Sequence[jnp.ndarray],  # per group [B, C]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batch-tiled variant of `cloth_position_solve`: grid over tiles of
+    BT = 128 envs (or one full tile when B < 128), all state transposed so the
+    ENV axis sits in lanes. Same math, same operands — different layout."""
+    B, PT, _ = x.shape
+    n_g = len(spec.group_sizes)
+    assert len(group_topology) == 3 * n_g and len(group_masks) == n_g
+    BT = 128 if B % 128 == 0 else B
+
+    xT = jnp.transpose(x, (2, 1, 0))  # [3, PT, B]
+    prevT = jnp.transpose(prev_x, (2, 1, 0))
+    wT = inv_mass.T  # [PT, B]
+    hangerT = hanger.T  # [3, B]
+    bwT = att_body_w.T  # [G, B]
+    masksT = [m.T for m in group_masks]  # [C, B]
+
+    def tiled(shape):  # env axis last, tiled over the grid
+        nd = len(shape)
+        return pl.BlockSpec(shape[:-1] + (BT,), lambda b: (0,) * (nd - 1) + (b,), memory_space=pltpu.VMEM)
+
+    def shared(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b: (0,) * nd, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        tiled((3, PT, B)),  # x
+        tiled((3, PT, B)),  # prev
+        tiled((PT, B)),  # inv mass
+        tiled((3, B)),  # hanger
+        tiled((att_body_w.shape[1], B)),  # body w
+        shared((att_particle.shape[0],)),
+    ]
+    operands = [xT, prevT, wT, hangerT, bwT, att_particle]
+    for g in range(n_g):
+        i_arr, j_arr, r_arr = group_topology[3 * g : 3 * g + 3]
+        in_specs += [shared(i_arr.shape), shared(j_arr.shape), shared(r_arr.shape), tiled(masksT[g].shape)]
+        operands += [i_arr, j_arr, r_arr, masksT[g]]
+
+    def kernel(*refs):
+        _kernel_tiled(spec, refs)
+
+    outT = pl.pallas_call(
+        kernel,
+        grid=(B // BT,),
+        in_specs=in_specs,
+        out_specs=tiled((3, PT, B)),
+        out_shape=jax.ShapeDtypeStruct((3, PT, B), x.dtype),
+        interpret=interpret,
+    )(*operands)
+    return jnp.transpose(outT, (2, 1, 0))
+
+
 @partial(jax.jit, static_argnums=(0, 9))
 def cloth_position_solve(
     spec: ClothSolveSpec,

@@ -180,3 +180,31 @@ def test_object_target_distance_info(env):
     d = np.asarray(ts.info["object_target_distance"])
     assert d.shape == (env.cfg.num_envs,)
     assert np.isfinite(d).all() and (d > 0).all()
+
+
+def test_pallas_tiled_solver_matches_xla():
+    """Batch-tiled (env-in-lanes) Pallas solve reproduces the XLA trajectory."""
+    env_x = make_env("cloth_hanging", num_envs=2)
+    env_p = make_env("cloth_hanging", num_envs=2, use_pallas_solver="tiled")
+
+    state_x = env_x.reset(jax.random.PRNGKey(11))
+    state_p = env_p.reset(jax.random.PRNGKey(11))
+
+    action = jnp.ones((2, 24)) * 0.3
+    for _ in range(5):
+        sx = env_x._physics(env_x._apply_action(state_x.scene, action), state_x.hanger_pos)
+        sp = env_p._physics_pallas(
+            env_p._apply_action(state_p.scene, action), state_p.hanger_pos, interpret=True
+        )
+        state_x = state_x._replace(scene=sx)
+        state_p = state_p._replace(scene=sp)
+        np.testing.assert_allclose(
+            np.asarray(state_x.scene.particles.pos),
+            np.asarray(state_p.scene.particles.pos),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(state_x.scene.bodies.pos),
+            np.asarray(state_p.scene.bodies.pos),
+            atol=2e-4,
+        )
