@@ -116,7 +116,8 @@ class ClothTaskCfg:
     hole_split: str = "train"  # train | test (scene_cfg.py split_combinations)
     # fused VMEM position solve (sim/pallas_cloth.py): False = XLA path,
     # True = one-env-per-program kernel, "tiled" = env-in-lanes batch tiles
-    use_pallas_solver: object = False
+    # (~2x XLA on v5e), "auto" = tiled on TPU / XLA elsewhere
+    use_pallas_solver: object = "auto"
     episode_length: int = 100
     decimation: int = 2
     dt: float = 0.01
@@ -321,6 +322,11 @@ class ClothEnv:
         self.group_topology = topo
         self.group_mask_list = [g.mask for g in self.distance_groups]
 
+        mode = cfg.use_pallas_solver
+        if mode == "auto":
+            mode = "tiled" if jax.default_backend() == "tpu" else False
+        self.solver_mode = mode
+
     def _build_obs_spec(self) -> ObsSpec:
         E = self.obs_edges.shape[0]
         G, P, K = self.cfg.num_grippers, N_PARTICLES, K_BOUNDARY
@@ -436,7 +442,7 @@ class ClothEnv:
 
     def _physics(self, scene: SceneState, hanger_pos) -> SceneState:
         cfg = self.cfg
-        if cfg.use_pallas_solver:
+        if self.solver_mode:
             return self._physics_pallas(scene, hanger_pos)
         return step_physics(
             scene,
@@ -459,7 +465,7 @@ class ClothEnv:
         runs in one Pallas kernel per substep."""
         from ..sim.pallas_cloth import cloth_position_solve, cloth_position_solve_tiled
 
-        solve = cloth_position_solve_tiled if self.cfg.use_pallas_solver == "tiled" else cloth_position_solve
+        solve = cloth_position_solve_tiled if self.solver_mode == "tiled" else cloth_position_solve
         cfg = self.cfg
         B, G = cfg.num_envs, cfg.num_grippers
         dt = cfg.dt

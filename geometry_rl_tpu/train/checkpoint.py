@@ -33,13 +33,34 @@ def save_checkpoint(directory: str, step: int, state: Any, metrics: Optional[dic
 
 def restore_checkpoint(directory: str, state: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure of `state` (an abstract/template TrainState
-    from `trainer.init`)."""
+    from `trainer.init`).
+
+    Forward-compatible with checkpoints written before fields were added to
+    TrainState: on a structure mismatch, each stored field is restored
+    individually and missing fields keep the template's (freshly
+    initialized) value."""
     mgr = _manager(directory)
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"No checkpoint found in {directory}")
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    except Exception:
+        if not hasattr(state, "_fields"):
+            mgr.close()
+            raise
+        meta = mgr.item_metadata(step)
+        stored = set(meta.keys()) if hasattr(meta, "keys") else set(state._fields)
+        abstract_dict = {
+            f: jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, getattr(state, f))
+            for f in state._fields
+            if f in stored
+        }
+        restored_dict = mgr.restore(step, args=ocp.args.StandardRestore(abstract_dict))
+        restored = type(state)(
+            **{f: restored_dict.get(f, getattr(state, f)) for f in state._fields}
+        )
     mgr.close()
     return restored
 
