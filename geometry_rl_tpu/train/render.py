@@ -39,6 +39,10 @@ def _collect_frames(trainer, state, n_steps: int, env_index: int, deterministic:
         frame = {
             "bodies": np.asarray(scene.bodies.pos[env_index]),
         }
+        if "object_target_distance" in ts.info:
+            frame["task_distance"] = float(ts.info["object_target_distance"][env_index])
+        if hasattr(env.cfg, "target_body"):
+            frame["target"] = np.asarray(scene.bodies.pos[env_index, env.cfg.target_body])
         if scene.particles is not None:
             frame["particles"] = np.asarray(scene.particles.pos[env_index])
         if hasattr(env, "obj_points"):
@@ -93,6 +97,8 @@ def record_rollout(
         ax.cla()
         f = frames[i]
         ax.scatter(*f["bodies"].T, c="tab:red", s=60, marker="s", label="bodies")
+        if "target" in f:
+            ax.scatter(*f["target"].T, c="tab:orange", s=120, marker="*", label="target")
         if "mesh" in f:
             m = f["mesh"][f["mesh_mask"]]
             ax.scatter(*m.T, c="tab:blue", s=8, label="object mesh")
@@ -102,7 +108,10 @@ def record_rollout(
         ax.set_xlim(lo[0], hi[0])
         ax.set_ylim(lo[1], hi[1])
         ax.set_zlim(lo[2], hi[2])
-        ax.set_title(f"step {i}")
+        title = f"step {i}"
+        if "task_distance" in f:
+            title += f"  d={f['task_distance']:.3f}"
+        ax.set_title(title)
         if i == 0:
             ax.legend(loc="upper right", fontsize=7)
 
