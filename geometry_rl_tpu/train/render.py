@@ -43,6 +43,15 @@ def _collect_frames(trainer, state, n_steps: int, env_index: int, deterministic:
             frame["task_distance"] = float(ts.info["object_target_distance"][env_index])
         if hasattr(env.cfg, "target_body"):
             frame["target"] = np.asarray(scene.bodies.pos[env_index, env.cfg.target_body])
+        if hasattr(env_state, "hanger_pos"):  # cloth: capsule hook along +y
+            h = np.asarray(env_state.hanger_pos[env_index])
+            L = getattr(env.cfg, "hanger_half_len", 0.5) * 2
+            frame["hook"] = np.stack([h, h + np.array([0.0, L, 0.0])])
+        elif hasattr(env_state, "hanger_xy"):  # rope: vertical pole
+            hxy = np.asarray(env_state.hanger_xy[env_index])
+            frame["hook"] = np.stack(
+                [np.array([hxy[0], hxy[1], 0.0]), np.array([hxy[0], hxy[1], 1.0])]
+            )
         if scene.particles is not None:
             frame["particles"] = np.asarray(scene.particles.pos[env_index])
         if hasattr(env, "obj_points"):
@@ -99,6 +108,8 @@ def record_rollout(
         ax.scatter(*f["bodies"].T, c="tab:red", s=60, marker="s", label="bodies")
         if "target" in f:
             ax.scatter(*f["target"].T, c="tab:orange", s=120, marker="*", label="target")
+        if "hook" in f:
+            ax.plot(*f["hook"].T, c="tab:purple", lw=4, label="hook")
         if "mesh" in f:
             m = f["mesh"][f["mesh_mask"]]
             ax.scatter(*m.T, c="tab:blue", s=8, label="object mesh")

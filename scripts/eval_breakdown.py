@@ -24,15 +24,22 @@ def main():
     ap.add_argument("--checkpoint", default="best")
     ap.add_argument("--episodes", type=int, default=3, help="episodes per env")
     ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("--override", nargs="*", default=[], help="dot.key=value config overrides (e.g. env.kwargs.hole_split=test)")
+    ap.add_argument("--out", default="eval_breakdown.json")
     args = ap.parse_args()
 
     from geometry_rl_tpu.config import load_config, trainer_from_config
     from geometry_rl_tpu.rl import gaussian as G
     from geometry_rl_tpu.rl.obs_pipeline import obs_norm_step
     from geometry_rl_tpu.train.checkpoint import latest_step, restore_checkpoint
+    from geometry_rl_tpu.train.cli import parse_overrides
 
     with open(os.path.join(args.run_dir, "hparams.json")) as f:
         cfg = load_config(None, json.load(f))
+    if args.override:
+        from geometry_rl_tpu.config import _merge
+
+        cfg = _merge(cfg, parse_overrides(args.override))
     trainer = trainer_from_config(cfg)
     env = trainer.env
 
@@ -85,7 +92,7 @@ def main():
         "success_rate": round(float((final_d < args.threshold).mean()), 4),
     }
     print(json.dumps({"overall": overall, "per_shape": report}, indent=2))
-    out = os.path.join(args.run_dir, "eval_breakdown.json")
+    out = os.path.join(args.run_dir, args.out)
     with open(out, "w") as f:
         json.dump({"overall": overall, "per_shape": report}, f, indent=2)
     print("wrote", out)
