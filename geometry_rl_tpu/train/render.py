@@ -35,6 +35,10 @@ def _collect_frames(trainer, state, n_steps: int, env_index: int, deterministic:
         action = dist.mean if deterministic else G.sample(k, dist)
         env_state, ts = env.step(env_state, action)
         obs = ts.obs
+        if bool(ts.done[env_index]):
+            # the env auto-resets inside step: the post-done scene belongs to
+            # the NEXT episode, so stop recording at episode end
+            break
         scene = env_state.scene
         frame = {
             "bodies": np.asarray(scene.bodies.pos[env_index]),
