@@ -122,7 +122,7 @@ class ClothTaskCfg:
     decimation: int = 2
     dt: float = 0.01
     iterations: int = 10
-    warmup_steps: int = 0
+    warmup_steps: int = 10  # cloth_hanging cfg warmup_steps: 10
 
     cloth_size: float = 1.0  # 1m x 1m (gripper corner spacing)
     cloth_mass: float = 0.05

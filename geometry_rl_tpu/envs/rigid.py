@@ -687,7 +687,7 @@ def rigid_pushing_cfg(num_envs: int = 40, **kw) -> RigidTaskCfg:
     kw.setdefault("object_xy_range", (-0.5, 0.5))
     kw.setdefault("object_z_range", (0.06, 0.06),)
     kw.setdefault("target_z", 0.06)
-    kw.setdefault("warmup_steps", 0)
+    kw.setdefault("warmup_steps", 5)  # *_env_cfg warmup_steps: 5
     return RigidTaskCfg(name="rigid_pushing", num_envs=num_envs, **kw)
 
 
@@ -711,7 +711,7 @@ def rigid_sliding_cfg(num_envs: int = 40, **kw) -> RigidTaskCfg:
     kw.setdefault("object_xy_range", (-1.0, 1.0))
     kw.setdefault("object_z_range", (0.06, 0.06))
     kw.setdefault("target_z", 0.06)
-    kw.setdefault("warmup_steps", 0)
+    kw.setdefault("warmup_steps", 5)  # *_env_cfg warmup_steps: 5
     return RigidTaskCfg(name="rigid_sliding", num_envs=num_envs, **kw)
 
 

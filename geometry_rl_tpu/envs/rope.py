@@ -114,7 +114,7 @@ class RopeTaskCfg:
     decimation: int = 2
     dt: float = 0.01
     iterations: int = 8
-    warmup_steps: int = 0
+    warmup_steps: int = 10  # rope_* cfg warmup_steps: 10
 
     link_mass: float = 0.05
     rope_damping: float = 2.0
@@ -297,6 +297,15 @@ class RopeEnv:
         cfg = self.cfg
         key, sub = jax.random.split(key)
         scene, target_yaw, hanger_xy = self._initial_layout(sub)
+        # zero-action warmup after the explicit reset (OrbitTorchRLEnv._reset
+        # semantics — auto-resets inside step get none, like RLTaskEnv)
+        for _ in range(cfg.warmup_steps):
+            zeroed = scene._replace(
+                bodies=scene.bodies._replace(
+                    lin_vel=scene.bodies.lin_vel * 0.0, ang_vel=scene.bodies.ang_vel * 0.0
+                )
+            )
+            scene = self._physics(zeroed, hanger_xy)
         return RopeEnvState(
             scene=scene,
             target_yaw=target_yaw,

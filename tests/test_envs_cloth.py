@@ -184,8 +184,10 @@ def test_object_target_distance_info(env):
 
 def test_pallas_tiled_solver_matches_xla():
     """Batch-tiled (env-in-lanes) Pallas solve reproduces the XLA trajectory."""
-    env_x = make_env("cloth_hanging", num_envs=2)
-    env_p = make_env("cloth_hanging", num_envs=2, use_pallas_solver="tiled")
+    # warmup_steps=0: reset() warmup would run the forced tiled solver in
+    # non-interpret mode, which CPU cannot execute
+    env_x = make_env("cloth_hanging", num_envs=2, warmup_steps=0)
+    env_p = make_env("cloth_hanging", num_envs=2, warmup_steps=0, use_pallas_solver="tiled")
 
     state_x = env_x.reset(jax.random.PRNGKey(11))
     state_p = env_p.reset(jax.random.PRNGKey(11))
