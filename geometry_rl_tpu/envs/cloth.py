@@ -23,14 +23,21 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..sim.types import ParticleState, RigidBodySpec, RigidBodyState, SceneState, box_inertia
-from ..sim.xpbd import BodyAttachment, DistanceGroup, ParticleSDFContact, ParticleSpec, step_physics
+from ..sim.xpbd import (
+    BodyAttachment,
+    DistanceGroup,
+    ParticleSDFContact,
+    ParticleSelfContact,
+    ParticleSpec,
+    step_physics,
+)
 from ..utils.math import quat_apply, quat_from_euler_xyz, quat_identity, quat_mul, sample_uniform
 from .base import ObsSpec, TimeStep
 
@@ -132,6 +139,12 @@ class ClothTaskCfg:
     stretch_compliance: float = 5e-7
     shear_compliance: float = 1e-2
     bend_compliance: float = 1.0
+    # PhysX particle-cloth self-collision (particle_contact_offset,
+    # scene_cfg.py:43-45 restOffset = 0.5/(N+1), separation = 2*restOffset).
+    # Off by default: enables the dense all-pairs pass in the XLA solver
+    # (the tiled Pallas solver does not implement it — _physics falls back).
+    self_collision: bool = False
+    self_collision_distance: Optional[float] = None  # default 2*restOffset
 
     gripper_mass: float = 10.0
     gripper_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
@@ -300,6 +313,27 @@ class ClothEnv:
             body=jnp.arange(G, dtype=jnp.int32),
             local_pos=jnp.zeros((G, 3)),
         )
+
+        # --- self-collision (optional; PhysX particle_contact_offset) -------
+        self.self_contacts: Tuple[ParticleSelfContact, ...] = ()
+        if cfg.self_collision:
+            rr, cc = np.divmod(np.arange(N_PARTICLES), N_ROW)
+            cheb = np.maximum(
+                np.abs(rr[:, None] - rr[None, :]), np.abs(cc[:, None] - cc[None, :])
+            )
+            # exclude self + the 8-neighborhood (held apart by stretch/shear)
+            pair_mask = (cheb > 1).astype(np.float32)
+            min_dist = cfg.self_collision_distance
+            if min_dist is None:
+                min_dist = cfg.cloth_size / (N_ROW + 1)  # 2 * restOffset
+            self.self_contacts = (
+                ParticleSelfContact(
+                    min_dist=float(min_dist),
+                    pair_mask=jnp.asarray(pair_mask),
+                    active=1.0 - self.hole_mask,
+                ),
+            )
+
         self.obs_spec = self._build_obs_spec()
 
         # --- fused Pallas position solver (optional) -------------------------
@@ -325,6 +359,8 @@ class ClothEnv:
         mode = cfg.use_pallas_solver
         if mode == "auto":
             mode = "tiled" if jax.default_backend() == "tpu" else False
+        if cfg.self_collision:
+            mode = False  # self-contacts only exist in the XLA solver
         self.solver_mode = mode
 
     def _build_obs_spec(self) -> ObsSpec:
@@ -453,6 +489,7 @@ class ClothEnv:
             distance_groups=self.distance_groups,
             attachments=self.attachments,
             particle_contacts=self._hanger_contacts(hanger_pos),
+            self_contacts=self.self_contacts,
             iterations=cfg.iterations,
         )
 

@@ -12,6 +12,7 @@ from .xpbd import (  # noqa: F401
     ContactSet,
     DistanceGroup,
     ParticleSDFContact,
+    ParticleSelfContact,
     ParticleSpec,
     step_physics,
     xpbd_substep,

@@ -56,6 +56,10 @@ class ContactSet:
     local_points: jnp.ndarray
     sdf: SDFFn
     friction: float = 0.5
+    # velocity-pass parameters (XPBD §3.6 velocity solve). Both default to 0,
+    # which skips the pass at trace time — existing behavior is unchanged.
+    restitution: float = 0.0
+    dynamic_friction: float = 0.0
 
     def __hash__(self):  # static under jit; identity hash is fine
         return id(self)
@@ -76,6 +80,8 @@ class BodyPairContact:
     local_points: jnp.ndarray  # [P, 3] or [B, P, 3]
     sdf: SDFFn  # local frame of body_sdf
     friction: float = 0.5
+    restitution: float = 0.0
+    dynamic_friction: float = 0.0
 
     def __hash__(self):
         return id(self)
@@ -90,6 +96,8 @@ class ParticleSDFContact:
 
     sdf: SDFFn
     friction: float = 0.3
+    restitution: float = 0.0
+    dynamic_friction: float = 0.0
 
     def __hash__(self):
         return id(self)
@@ -117,6 +125,23 @@ class DistanceGroup(NamedTuple):
 class ParticleSpec(NamedTuple):
     inv_mass: jnp.ndarray  # [NP] or [B, NP]
     lin_damping: float = 0.0
+
+
+class ParticleSelfContact(NamedTuple):
+    """All-pairs particle self-collision (PhysX particle-cloth
+    `particle_contact_offset` semantics): any non-excluded pair is pushed
+    apart to `min_dist`. Dense [NP, NP] work — lowers to MXU-friendly
+    batched matmuls/broadcasts, NO scatter (NP is small: cloth 225).
+
+    pair_mask: [NP, NP] static 0/1, excludes self + topologically-constrained
+        neighbors (they are kept apart by stretch/shear constraints already).
+    active: optional [NP] or [B, NP] per-particle gate (cloth hole cutouts:
+        removed particles must not repel cloth moving through the hole).
+    """
+
+    min_dist: float
+    pair_mask: jnp.ndarray
+    active: Optional[jnp.ndarray] = None
 
 
 class BodyAttachment(NamedTuple):
@@ -231,7 +256,11 @@ def _solve_fixed_joints(
 
 def _solve_body_contacts(pos, quat, prev_pos, prev_quat, spec, contact: ContactSet, mu_scale=1.0):
     """One pass of point-vs-SDF contact for one body, with static friction on
-    the substep's tangential motion (PBD-style)."""
+    the substep's tangential motion (PBD-style). Also returns the per-point
+    normal lambda [B, P] so the velocity pass can budget dynamic friction
+    against the actual contact load (captures load redistribution that a
+    penetration proxy misses, e.g. a sliding box tipping onto its leading
+    corners)."""
     b = contact.body
     lp = contact.local_points
     if lp.ndim == 2:
@@ -274,7 +303,7 @@ def _solve_body_contacts(pos, quat, prev_pos, prev_quat, spec, contact: ContactS
     new_p = p_b + dpos
     dq = 0.5 * quat_mul(jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), q_b)
     new_q = quat_normalize(q_b + dq)
-    return pos.at[:, b].set(new_p), quat.at[:, b].set(new_q)
+    return pos.at[:, b].set(new_p), quat.at[:, b].set(new_q), lam_n
 
 
 def _solve_body_pair_contact(pos, quat, spec, contact: BodyPairContact):
@@ -354,6 +383,30 @@ def _solve_distance_group(x, inv_mass, group: DistanceGroup, dt):
     return x
 
 
+def _solve_self_contacts(x, inv_mass, sc: ParticleSelfContact):
+    """One Jacobi pass of all-pairs particle separation.
+
+    Each violating pair (i, j) is pushed apart along its axis, split by
+    inverse masses; per-particle corrections are averaged over that
+    particle's violating pairs (Jacobi relaxation) to avoid overshoot in
+    dense fold regions."""
+    d = x[:, :, None, :] - x[:, None, :, :]  # [B, N, N, 3]
+    dist = jnp.linalg.norm(d + 1e-12, axis=-1)  # eps: grad-safe at i == j
+    w = inv_mass if inv_mass.ndim == 2 else inv_mass[None]  # [B?, N]
+    pair_w = w[:, :, None] + w[:, None, :]
+    viol = jnp.maximum(sc.min_dist - dist, 0.0) * sc.pair_mask
+    if sc.active is not None:
+        a = sc.active if sc.active.ndim == 2 else sc.active[None]
+        viol = viol * a[:, :, None] * a[:, None, :]
+    n = d / jnp.maximum(dist, 1e-9)[..., None]
+    # i gets +viol * w_i / (w_i + w_j) along n (j gets the mirror when the
+    # pair is visited from its row)
+    corr = viol / jnp.maximum(pair_w, 1e-12) * w[:, :, None]  # [B, N, N]
+    counts = jnp.maximum((viol > 0).sum(axis=-1), 1)  # [B, N]
+    dx = jnp.einsum("bij,bijd->bid", corr, n) / counts[..., None]
+    return x + dx
+
+
 def _solve_attachments(x, inv_mass, pos, quat, spec, att: BodyAttachment):
     """Particle <-> body pins. Two-way: both the particle and the body move
     according to their generalized inverse masses."""
@@ -395,6 +448,94 @@ def _solve_attachments(x, inv_mass, pos, quat, spec, att: BodyAttachment):
 
 
 # ---------------------------------------------------------------------------
+# velocity pass (XPBD "Detailed Rigid Body Simulation" §3.6)
+# ---------------------------------------------------------------------------
+
+
+def _velocity_pass_body_contact(
+    lin_vel, ang_vel, pos, quat, pred_pos, pred_quat, v_pre, w_pre, spec, contact: ContactSet, lam_n, dt
+):
+    """Restitution + dynamic Coulomb friction for one body-vs-SDF contact set.
+
+    lam_n [B, P]: normal lambda accumulated over the position iterations —
+    the actual per-point contact load (captures redistribution onto leading
+    points when the body tips while sliding). v_pre/w_pre are pre-solve
+    (post-integration) velocities, the approach velocity for restitution.
+    """
+    b = contact.body
+    lp = contact.local_points
+    if lp.ndim == 2:
+        lp = jnp.broadcast_to(lp[None], (pos.shape[0],) + lp.shape)
+
+    q_b, p_b = quat[:, b], pos[:, b]
+    r = quat_apply(q_b[:, None, :], lp)  # [B, P, 3] final-pose offsets
+    world_pts = p_b[:, None, :] + r
+    phi, n = contact.sdf(world_pts)
+    # a point is in contact this substep iff the position solve loaded it
+    active = (lam_n > 0.0).astype(pos.dtype)
+
+    im, ii = spec.inv_mass[b], spec.inv_inertia[b]
+    w_n = _generalized_inv_mass(q_b[:, None, :], im, ii, r, n)
+    p_n_budget = lam_n / dt  # normal impulse over the substep
+
+    # contact-point velocities (post-solve and pre-solve)
+    pred_r = quat_apply(pred_quat[:, b][:, None, :], lp)
+    v_pt = lin_vel[:, b][:, None, :] + jnp.cross(ang_vel[:, b][:, None, :], r)
+    v_pt_pre = v_pre[:, b][:, None, :] + jnp.cross(w_pre[:, b][:, None, :], pred_r)
+    vn = jnp.sum(v_pt * n, axis=-1)  # [B, P]
+    vn_pre = jnp.sum(v_pt_pre * n, axis=-1)
+
+    p_total = jnp.zeros_like(v_pt)
+    if contact.restitution > 0.0:
+        # dv_n = -vn + max(-e * vn_pre, 0); threshold suppresses jitter bounce
+        e = jnp.where(jnp.abs(vn_pre) > 2.0 * 9.81 * dt, contact.restitution, 0.0)
+        dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * active
+        p_total = p_total + (dv_n / jnp.maximum(w_n, 1e-12))[..., None] * n
+    if contact.dynamic_friction > 0.0:
+        vt = v_pt - vn[..., None] * n
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
+        w_t = _generalized_inv_mass(q_b[:, None, :], im, ii, r, t_dir)
+        p_stop = vt_norm / jnp.maximum(w_t, 1e-12)
+        p_fric = jnp.minimum(p_stop, contact.dynamic_friction * p_n_budget) * active
+        p_total = p_total - p_fric[..., None] * t_dir
+
+    # summing per-point impulses self-normalizes: each point's impulse is
+    # divided by its generalized inverse mass (same cancellation as the
+    # position solve), so simultaneous contacts don't over-correct
+    dv = p_total.sum(axis=1) * im * spec.free_pos[b]
+    dw = _inv_inertia_world(q_b, ii, jnp.cross(r, p_total).sum(axis=1)) * spec.free_rot[b]
+    return lin_vel.at[:, b].add(dv), ang_vel.at[:, b].add(dw)
+
+
+def _velocity_pass_particle_contact(vel, x, pred_x, v_pre, inv_mass, pc: ParticleSDFContact, dt):
+    """Restitution + dynamic friction for particles vs one SDF."""
+    phi, n = pc.sdf(x)
+    active = (phi < 1e-4).astype(x.dtype)
+    phi_pre, _ = pc.sdf(pred_x)
+    pen_pre = jnp.maximum(-phi_pre, 0.0)
+
+    w = inv_mass if inv_mass.ndim == 2 else inv_mass[None]
+    vn = jnp.sum(vel * n, axis=-1)
+    vn_pre = jnp.sum(v_pre * n, axis=-1)
+
+    dv = jnp.zeros_like(vel)
+    if pc.restitution > 0.0:
+        e = jnp.where(jnp.abs(vn_pre) > 2.0 * 9.81 * dt, pc.restitution, 0.0)
+        dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * active * (w > 0)
+        dv = dv + dv_n[..., None] * n
+    if pc.dynamic_friction > 0.0:
+        vt = vel - vn[..., None] * n
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
+        # velocity budget: friction impulse <= mu * normal impulse (pen/dt)
+        dv_max = pc.dynamic_friction * pen_pre / dt
+        dv_t = jnp.minimum(vt_norm, dv_max) * active * (w > 0)
+        dv = dv - dv_t[..., None] * t_dir
+    return vel + dv
+
+
+# ---------------------------------------------------------------------------
 # the substep
 # ---------------------------------------------------------------------------
 
@@ -411,6 +552,7 @@ def xpbd_substep(
     distance_groups: Sequence[DistanceGroup] = (),
     attachments: Optional[BodyAttachment] = None,
     particle_contacts: Sequence[ParticleSDFContact] = (),
+    self_contacts: Sequence[ParticleSelfContact] = (),
     iterations: int = 8,
     max_velocity: float = 1e3,
 ) -> SceneState:
@@ -430,6 +572,8 @@ def xpbd_substep(
     pos = bodies.pos + dt * v
     w_quat = jnp.concatenate([jnp.zeros_like(w[..., :1]), w], axis=-1)
     quat = quat_normalize(bodies.quat + 0.5 * dt * quat_mul(w_quat, bodies.quat))
+    pred_pos, pred_quat = pos, quat  # pre-solve prediction (velocity pass)
+    v_pre, w_pre = v, w
 
     # particles
     if particle_spec is not None and state.particles is not None:
@@ -439,21 +583,41 @@ def xpbd_substep(
             pv = pv * jnp.exp(-particle_spec.lin_damping * dt)
         prev_x = parts.pos
         x = parts.pos + dt * pv
+        pred_x, pv_pre = x, pv
     else:
-        x = prev_x = None
+        x = prev_x = pred_x = pv_pre = None
+
+    # accumulated per-point normal lambdas for contacts that run a velocity
+    # pass (restitution / dynamic friction); empty tuple otherwise
+    needs_vpass = tuple(c.restitution > 0.0 or c.dynamic_friction > 0.0 for c in contacts)
+    lam_init = tuple(
+        jnp.zeros(pos.shape[:1] + (c.local_points.shape[-2],), pos.dtype)
+        for c, nv in zip(contacts, needs_vpass)
+        if nv
+    )
 
     # 2. position solve -----------------------------------------------------
     def iteration(carry, _):
-        pos, quat, x = carry
+        pos, quat, x, lams = carry
         if joints is not None:
             pos, quat = _solve_fixed_joints(pos, quat, body_spec, joints)
-        for contact in contacts:
-            pos, quat = _solve_body_contacts(pos, quat, prev_pos, prev_quat, body_spec, contact)
+        new_lams = []
+        vi = 0
+        for contact, nv in zip(contacts, needs_vpass):
+            pos, quat, lam_n = _solve_body_contacts(pos, quat, prev_pos, prev_quat, body_spec, contact)
+            if nv:
+                new_lams.append(lams[vi] + lam_n)
+                vi += 1
+        lams = tuple(new_lams)
         for contact in pair_contacts:
+            if contact.restitution > 0.0 or contact.dynamic_friction > 0.0:
+                raise NotImplementedError("velocity pass for BodyPairContact is not implemented yet")
             pos, quat = _solve_body_pair_contact(pos, quat, body_spec, contact)
         if x is not None:
             for group in distance_groups:
                 x = _solve_distance_group(x, particle_spec.inv_mass, group, dt)
+            for sc in self_contacts:
+                x = _solve_self_contacts(x, particle_spec.inv_mass, sc)
             if attachments is not None:
                 x, pos, quat = _solve_attachments(x, particle_spec.inv_mass, pos, quat, body_spec, attachments)
             for pc in particle_contacts:
@@ -467,9 +631,11 @@ def xpbd_substep(
                 scale = jnp.minimum(1.0, pc.friction * (-pen[..., None]) / jnp.maximum(t_norm, 1e-9))
                 active = (phi < 0.0).astype(x.dtype)[..., None]
                 x = x + active * (dx_n - scale * disp_t)
-        return (pos, quat, x), None
+        return (pos, quat, x, lams), None
 
-    (pos, quat, x), _ = jax.lax.scan(iteration, (pos, quat, x), None, length=iterations)
+    (pos, quat, x, lam_acc), _ = jax.lax.scan(
+        iteration, (pos, quat, x, lam_init), None, length=iterations
+    )
 
     # 3. velocity recovery ---------------------------------------------------
     new_v = (pos - prev_pos) / dt * body_spec.free_pos
@@ -477,9 +643,26 @@ def xpbd_substep(
     sign = jnp.sign(dq_vel[..., :1] + 1e-12)
     new_w = 2.0 * dq_vel[..., 1:] * sign / dt * body_spec.free_rot
 
+    # 4. velocity pass (restitution / dynamic friction) — traced only for
+    # contacts that request it, so default scenes compile identically
+    vi = 0
+    for contact, nv in zip(contacts, needs_vpass):
+        if nv:
+            new_v, new_w = _velocity_pass_body_contact(
+                new_v, new_w, pos, quat, pred_pos, pred_quat, v_pre, w_pre,
+                body_spec, contact, lam_acc[vi], dt,
+            )
+            vi += 1
+
     new_bodies = RigidBodyState(pos=pos, quat=quat, lin_vel=new_v, ang_vel=new_w)
     if x is not None:
-        new_parts = ParticleState(pos=x, vel=(x - prev_x) / dt)
+        new_pv = (x - prev_x) / dt
+        for pc in particle_contacts:
+            if pc.restitution > 0.0 or pc.dynamic_friction > 0.0:
+                new_pv = _velocity_pass_particle_contact(
+                    new_pv, x, pred_x, pv_pre, particle_spec.inv_mass, pc, dt
+                )
+        new_parts = ParticleState(pos=x, vel=new_pv)
     else:
         new_parts = state.particles
     return SceneState(bodies=new_bodies, particles=new_parts)

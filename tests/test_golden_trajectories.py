@@ -22,11 +22,13 @@ from geometry_rl_tpu.envs import make_env
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
+# warmup_steps=0 everywhere: the gate checks SOLVER behavior; reset-time
+# warmup is MDP policy and changes with reference parity, not physics
 CASES = {
     "rigid_insertion": dict(num_envs=2, warmup_steps=0),
-    "rigid_pushing": dict(num_envs=2),
-    "rope_closing": dict(num_envs=2, num_links=20, rope_length=2.5),
-    "cloth_hanging": dict(num_envs=2),
+    "rigid_pushing": dict(num_envs=2, warmup_steps=0),
+    "rope_closing": dict(num_envs=2, num_links=20, rope_length=2.5, warmup_steps=0),
+    "cloth_hanging": dict(num_envs=2, warmup_steps=0),
 }
 N_STEPS = 20
 

@@ -335,3 +335,219 @@ def test_step_physics_jit_compiles():
     state, spec = single_body_scene()
     stepped = jax.jit(lambda s: step_physics(s, spec, DT, decimation=4, iterations=2))(state)
     assert np.isfinite(np.asarray(stepped.bodies.pos)).all()
+
+
+# ---------------------------------------------------------------------------
+# velocity pass: restitution + dynamic friction (XPBD §3.6)
+# ---------------------------------------------------------------------------
+
+
+def test_restitution_ball_bounces():
+    """A dropped point-contact body with restitution e rebounds at ~e*v_in."""
+    state, spec = single_body_scene(pos=(0.0, 0.0, 0.5))
+    contact = ContactSet(
+        body=0,
+        local_points=jnp.asarray([[0.0, 0.0, 0.0]]),
+        sdf=ground_sdf,
+        friction=0.0,
+        restitution=0.8,
+    )
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(contact,), iterations=4))
+    v_in = v_out = 0.0
+    for _ in range(60):  # impact at ~0.32 s (v ~ -3.1 m/s)
+        prev_vz = float(state.bodies.lin_vel[0, 0, 2])
+        state = step(state)
+        vz = float(state.bodies.lin_vel[0, 0, 2])
+        if prev_vz < -0.5 and vz > 0.0:
+            v_in, v_out = -prev_vz, vz
+            break
+    assert v_in > 0.0, "ball never bounced"
+    assert 0.6 * v_in < v_out < 0.95 * v_in  # ~0.8 modulo the impact substep
+
+
+def test_restitution_zero_is_noop():
+    """Default (restitution=0, dynamic_friction=0) contacts trace the exact
+    same program as before the velocity pass existed."""
+    state, spec = single_body_scene(pos=(0.0, 0.0, 0.3))
+    corners = jnp.asarray(
+        [[-0.05, -0.05, -0.05], [0.05, -0.05, -0.05], [-0.05, 0.05, -0.05], [0.05, 0.05, -0.05]]
+    )
+    c0 = ContactSet(body=0, local_points=corners, sdf=ground_sdf, friction=0.5)
+    c1 = ContactSet(
+        body=0, local_points=corners, sdf=ground_sdf, friction=0.5, restitution=0.0, dynamic_friction=0.0
+    )
+    s0, s1 = state, state
+    step0 = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(c0,), iterations=4))
+    step1 = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(c1,), iterations=4))
+    for _ in range(100):
+        s0, s1 = step0(s0), step1(s1)
+    np.testing.assert_array_equal(np.asarray(s0.bodies.pos), np.asarray(s1.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(s0.bodies.lin_vel), np.asarray(s1.bodies.lin_vel))
+
+
+def test_dynamic_friction_decelerates_slider():
+    """A box sliding on the ground with mu_d decelerates at ~mu*g."""
+    state, spec = single_body_scene(pos=(0.0, 0.0, 0.05))
+    state = SceneState(
+        bodies=state.bodies._replace(
+            lin_vel=state.bodies.lin_vel.at[:, 0, 0].set(2.0),
+        )
+    )
+    corners = jnp.asarray(
+        [[-0.05, -0.05, -0.05], [0.05, -0.05, -0.05], [-0.05, 0.05, -0.05], [0.05, 0.05, -0.05]]
+    )
+    mu = 0.4
+    contact = ContactSet(
+        body=0, local_points=corners, sdf=ground_sdf, friction=0.0, dynamic_friction=mu
+    )
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(contact,), iterations=4))
+    t, vx = 0.0, 2.0
+    for i in range(200):
+        state = step(state)
+        t += DT
+        vx = float(state.bodies.lin_vel[0, 0, 0])
+        if vx < 0.05:
+            break
+    # analytic stop time: v0/(mu*g) = 2.0/(0.4*9.81) = 0.51 s
+    assert 0.3 < t < 0.8, f"stopped at t={t:.2f}s vx={vx:.3f}"
+    assert float(jnp.abs(state.bodies.lin_vel[0, 0, 0])) < 0.3
+
+
+def test_particle_restitution_and_friction():
+    """Particles with restitution bounce; with dynamic friction they stop sliding."""
+    n_p = 2
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.zeros((B, 1, 3)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)),
+            ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=ParticleState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0, 0.5], [1.0, 0, 0.001]]), (B, 1, 1)),
+            vel=jnp.tile(jnp.asarray([[0.0, 0, 0.0], [1.5, 0, 0.0]]), (B, 1, 1)),
+        ),
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1),
+        inv_inertia=jnp.zeros((1, 3)),
+        gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1),
+        ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)),
+        free_rot=jnp.ones((1, 3)),
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.ones(n_p))
+    pc = ParticleSDFContact(sdf=ground_sdf, friction=0.0, restitution=0.7, dynamic_friction=0.5)
+    step = jax.jit(
+        lambda s: xpbd_substep(s, spec, DT, particle_spec=p_spec, particle_contacts=(pc,), iterations=2)
+    )
+    bounced = False
+    for _ in range(60):
+        prev_vz = float(state.particles.vel[0, 0, 2])
+        state = step(state)
+        vz = float(state.particles.vel[0, 0, 2])
+        if prev_vz < -0.5 and vz > 0.3:
+            bounced = True
+            break
+    assert bounced, "particle with restitution never bounced"
+    # the slider particle should have lost most of its speed to friction
+    assert float(state.particles.vel[0, 1, 0]) < 1.0
+
+
+def test_particle_self_collision_keeps_separation():
+    """Two free particle clusters pushed through each other stay min_dist apart."""
+    from geometry_rl_tpu.sim import ParticleSelfContact
+
+    n_p = 2
+    min_dist = 0.1
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.zeros((B, 1, 3)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)),
+            ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=ParticleState(
+            pos=jnp.tile(jnp.asarray([[-0.2, 0, 1.0], [0.2, 0, 1.0]]), (B, 1, 1)),
+            vel=jnp.tile(jnp.asarray([[2.0, 0, 0.0], [-2.0, 0, 0.0]]), (B, 1, 1)),
+        ),
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1),
+        inv_inertia=jnp.zeros((1, 3)),
+        gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1),
+        ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)),
+        free_rot=jnp.ones((1, 3)),
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.ones(n_p))
+    sc = ParticleSelfContact(
+        min_dist=min_dist, pair_mask=1.0 - jnp.eye(n_p), active=jnp.ones(n_p)
+    )
+    # no gravity on particles: inv_mass>0 means gravity applies, so keep the
+    # test in-plane by checking xy separation only
+    step = jax.jit(
+        lambda s: xpbd_substep(s, spec, DT, particle_spec=p_spec, self_contacts=(sc,), iterations=4)
+    )
+    min_sep = 1.0
+    for _ in range(40):
+        state = step(state)
+        sep = float(
+            jnp.linalg.norm(state.particles.pos[0, 0, :2] - state.particles.pos[0, 1, :2])
+        )
+        min_sep = min(min_sep, sep)
+    assert min_sep > 0.9 * min_dist, f"particles interpenetrated: {min_sep:.4f}"
+
+
+def test_self_collision_inactive_particles_do_not_repel():
+    from geometry_rl_tpu.sim import ParticleSelfContact
+
+    n_p = 2
+    state_parts = ParticleState(
+        pos=jnp.tile(jnp.asarray([[0.0, 0, 1.0], [0.01, 0, 1.0]]), (B, 1, 1)),
+        vel=jnp.zeros((B, n_p, 3)),
+    )
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.zeros((B, 1, 3)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)),
+            ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=state_parts,
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1),
+        inv_inertia=jnp.zeros((1, 3)),
+        gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1),
+        ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)),
+        free_rot=jnp.ones((1, 3)),
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.zeros(n_p))  # both pinned
+    sc = ParticleSelfContact(
+        min_dist=0.1, pair_mask=1.0 - jnp.eye(n_p), active=jnp.asarray([1.0, 0.0])
+    )
+    step = jax.jit(
+        lambda s: xpbd_substep(s, spec, DT, particle_spec=p_spec, self_contacts=(sc,), iterations=4)
+    )
+    out = step(state)
+    np.testing.assert_allclose(
+        np.asarray(out.particles.pos), np.asarray(state.particles.pos), atol=1e-6
+    )
+
+
+def test_cloth_self_collision_env_steps():
+    """Cloth env with self_collision=True steps without NaNs and keeps
+    non-neighbor particles separated."""
+    from geometry_rl_tpu.envs import make_env
+
+    env = make_env("cloth_hanging", num_envs=2, warmup_steps=2, self_collision=True)
+    assert env.solver_mode is False  # falls back to the XLA solver
+    state = env.reset(jax.random.PRNGKey(3))
+    for _ in range(5):
+        state, ts = env.step(state, jnp.zeros((2, env.cfg.action_dim)))
+    assert bool(jnp.isfinite(state.scene.particles.pos).all())
