@@ -171,6 +171,9 @@ class ClothTaskCfg:
     action_rate_weight: float = -2e-3
 
     action_max: float = 1.0
+    # cloth CubeActionTerm: clamp(+-1) * 2.0, z allowed (cloth_tasks/mdp/
+    # actions.py:32-36 action_scale=2.0, action_dim=3)
+    action_scale: float = 2.0
 
     @property
     def num_grippers(self) -> int:
@@ -178,7 +181,7 @@ class ClothTaskCfg:
 
     @property
     def action_dim(self) -> int:
-        return 6 * self.num_grippers
+        return 3 * self.num_grippers  # cloth_tasks/mdp/actions.py:40-41 (3D)
 
     @property
     def spacing(self) -> float:
@@ -472,7 +475,7 @@ class ClothEnv:
         a = jnp.clip(action, -cfg.action_max, cfg.action_max)
         lin = scene.bodies.lin_vel
         for i in range(cfg.num_grippers):
-            v = a[:, 6 * i : 6 * i + 3]
+            v = a[:, 3 * i : 3 * i + 3] * cfg.action_scale
             lin = lin.at[:, i].set(v)  # z allowed (3D hanging task)
         return scene._replace(bodies=scene.bodies._replace(lin_vel=lin))
 

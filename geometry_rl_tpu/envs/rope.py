@@ -150,7 +150,9 @@ class RopeTaskCfg:
     shaping_action_rate_weight: float = -1e-4
 
     action_max: float = 1.0
-    action_linear_scale: float = 1.0
+    # rope CubeActionTerm: clamp(+-1) * 5.0, z zeroed (rope_tasks/mdp/
+    # actions.py:31-72 action_scale=5.0, action_dim=3)
+    action_linear_scale: float = 5.0
 
     @property
     def num_grippers(self) -> int:
@@ -158,7 +160,7 @@ class RopeTaskCfg:
 
     @property
     def action_dim(self) -> int:
-        return 6 * self.num_grippers  # CubeActionTermCfg (6D; z/rot locked)
+        return 3 * self.num_grippers  # rope_tasks/mdp/actions.py:40-41 (3D)
 
     @property
     def link_spacing(self) -> float:
@@ -240,7 +242,18 @@ class RopeEnv:
 
     def _initial_layout(self, key: jax.Array):
         """Straight rope along +x, cubes at the ends, then the reset rotations
-        (event_cfg.py Closing/ShapingRandomizationCfg)."""
+        (event_cfg.py Closing/ShapingRandomizationCfg).
+
+        Closing reproduces the reference's two reset terms exactly
+        (mdp/randomization.py:113-160, 177-280):
+          1. yaw1 in +-pi/4 about the rope center, applied to cubes AND rope;
+          2. yaw2 in +-pi about the DEFAULT hanger position, applied to the
+             cubes from their term-1 poses but to the rope from its DEFAULT
+             (straight) pose — the rope loses the term-1 rotation, so the
+             welded cube offsets bend the rope during warmup (initial
+             curvature diversity). The hanger itself is translated by
+             U(+-0.5) in x/y, independent of the rotation origin.
+        """
         cfg = self.cfg
         B, L = cfg.num_envs, cfg.num_links
         k1, k2, k3 = jax.random.split(key, 3)
@@ -263,24 +276,26 @@ class RopeEnv:
             )
             angle = target_yaw + off
             hanger_xy = jnp.zeros((B, 2))
+            links = center + yaw_rotate_2d(links - center, angle)
+            cubes = center + yaw_rotate_2d(cubes - center, angle)
         else:
-            angle = sample_uniform(k1, cfg.center_rot_range[0], cfg.center_rot_range[1], (B,))
             target_yaw = jnp.zeros((B,))
-            hanger_xy = jnp.asarray(cfg.hanger_pos[:2]) + sample_uniform(
-                k2, -cfg.hanger_xy_range, cfg.hanger_xy_range, (B, 2)
-            )
-
-        links = center + yaw_rotate_2d(links - center, angle)
-        cubes = center + yaw_rotate_2d(cubes - center, angle)
-
-        if not cfg.is_shaping:
-            # second stage: rotate rope+cubes around the hanger by yaw +-pi
+            # term 1: cubes + rope about rope center
+            yaw1 = sample_uniform(k1, cfg.center_rot_range[0], cfg.center_rot_range[1], (B,))
+            cubes = center + yaw_rotate_2d(cubes - center, yaw1)
+            # term 2: about the DEFAULT hanger; rope restarts from default
             yaw2 = sample_uniform(k3, cfg.around_hanger_yaw[0], cfg.around_hanger_yaw[1], (B,))
-            origin = jnp.concatenate([hanger_xy, jnp.zeros((B, 1))], axis=-1)[:, None]
+            origin = jnp.broadcast_to(
+                jnp.asarray([cfg.hanger_pos[0], cfg.hanger_pos[1], 0.0]), (B, 1, 3)
+            )
             links = origin + yaw_rotate_2d(links - origin, yaw2)
             cubes = origin + yaw_rotate_2d(cubes - origin, yaw2)
             links = links.at[..., 2].set(cfg.rope_z)
             cubes = cubes.at[..., 2].set(cfg.rope_z)
+            # hanger translation, independent of the rotation origin
+            hanger_xy = jnp.asarray(cfg.hanger_pos[:2]) + sample_uniform(
+                k2, -cfg.hanger_xy_range, cfg.hanger_xy_range, (B, 2)
+            )
 
         scene = SceneState(
             bodies=RigidBodyState(
@@ -339,10 +354,9 @@ class RopeEnv:
         a = jnp.clip(action, -cfg.action_max, cfg.action_max)
         lin = scene.bodies.lin_vel
         for i in range(2):
-            v = a[:, 6 * i : 6 * i + 3] * cfg.action_linear_scale
-            v = v.at[:, 2].set(0.0)  # z_action=False
+            v = a[:, 3 * i : 3 * i + 3] * cfg.action_linear_scale
+            v = v.at[:, 2].set(0.0)  # vel_command[:, 2] = 0 (actions.py:69)
             lin = lin.at[:, i].set(v)
-        # angular command exists in the interface but rotation axes are locked
         return scene._replace(bodies=scene.bodies._replace(lin_vel=lin))
 
     def _physics(self, scene: SceneState, hanger_xy) -> SceneState:

@@ -58,7 +58,7 @@ def test_cloth_env_steps(env):
 
 def test_cloth_corners_attached(env):
     state = env.reset(jax.random.PRNGKey(1))
-    action = jnp.zeros((B, 24)).at[:, 0].set(0.5)  # move gripper 0 in +x
+    action = jnp.zeros((B, 12)).at[:, 0].set(0.5)  # move gripper 0 in +x
     for _ in range(20):
         state, _ = env.step(state, action)
         state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
@@ -73,7 +73,7 @@ def test_cloth_holds_shape_under_gravity(env):
     pins hold it up."""
     state = env.reset(jax.random.PRNGKey(2))
     for _ in range(40):
-        state, _ = env.step(state, jnp.zeros((B, 24)))
+        state, _ = env.step(state, jnp.zeros((B, 12)))
         state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
     parts = np.asarray(state.scene.particles.pos)
     hole = np.asarray(env.hole_mask) > 0.5
@@ -89,7 +89,7 @@ def test_hole_particles_frozen(env):
     state = env.reset(jax.random.PRNGKey(3))
     p0 = np.asarray(state.scene.particles.pos)
     for _ in range(10):
-        state, _ = env.step(state, jnp.zeros((B, 24)))
+        state, _ = env.step(state, jnp.zeros((B, 12)))
         state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
     p1 = np.asarray(state.scene.particles.pos)
     hole = np.asarray(env.hole_mask) > 0.5
@@ -150,7 +150,7 @@ def test_pallas_solver_matches_xla():
         np.asarray(state_x.scene.particles.pos), np.asarray(state_p.scene.particles.pos)
     )
 
-    action = jnp.ones((2, 24)) * 0.3
+    action = jnp.ones((2, 12)) * 0.3
     for _ in range(5):
         sx = env_x._physics(env_x._apply_action(state_x.scene, action), state_x.hanger_pos)
         sp = env_p._physics_pallas(
@@ -192,7 +192,7 @@ def test_pallas_tiled_solver_matches_xla():
     state_x = env_x.reset(jax.random.PRNGKey(11))
     state_p = env_p.reset(jax.random.PRNGKey(11))
 
-    action = jnp.ones((2, 24)) * 0.3
+    action = jnp.ones((2, 12)) * 0.3
     for _ in range(5):
         sx = env_x._physics(env_x._apply_action(state_x.scene, action), state_x.hanger_pos)
         sp = env_p._physics_pallas(

@@ -52,7 +52,7 @@ def test_rope_ends_attached_to_grippers():
     env = make_env("rope_closing", num_envs=B)
     state = env.reset(jax.random.PRNGKey(1))
     # drive gripper 0 and check link 0 follows
-    action = jnp.zeros((B, 12)).at[:, 0].set(1.0)
+    action = jnp.zeros((B, 6)).at[:, 0].set(1.0)
     for _ in range(20):
         state, _ = env.step(state, action)
         state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
@@ -72,7 +72,7 @@ def test_rope_pole_collision():
     # drag both grippers toward/past the hanger
     for _ in range(60):
         hanger = jnp.concatenate([state.hanger_xy, jnp.full((B, 1), env.cfg.rope_z)], axis=-1)
-        a = jnp.zeros((B, 12))
+        a = jnp.zeros((B, 6))
         for i in range(2):
             d = hanger - state.scene.bodies.pos[:, i]
             d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
@@ -89,7 +89,7 @@ def test_rope_shaping_env():
     env = make_env("rope_shaping", num_envs=B)
     state = env.reset(jax.random.PRNGKey(3))
     assert state.scene.particles.pos.shape == (B, 80, 3)
-    state, ts = env.step(state, jnp.zeros((B, 12)))
+    state, ts = env.step(state, jnp.zeros((B, 6)))
     assert np.isfinite(np.asarray(ts.reward)).all()
     assert (np.asarray(ts.reward) <= 0).all()
 
