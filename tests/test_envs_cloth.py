@@ -210,3 +210,16 @@ def test_pallas_tiled_solver_matches_xla():
             np.asarray(state_p.scene.bodies.pos),
             atol=2e-4,
         )
+
+
+def test_cloth_action_term_parity():
+    """Reference cloth CubeActionTerm: 3-dim per cube, clamp(+-1)*2.0, z kept
+    (cloth_tasks/mdp/actions.py:32-36)."""
+    env = make_env("cloth_hanging", num_envs=2, warmup_steps=0)
+    assert env.cfg.action_dim == 12  # 4 grippers x 3
+    state = env.reset(jax.random.PRNGKey(0))
+    a = jnp.zeros((2, 12)).at[:, 0].set(3.0).at[:, 5].set(-0.5)
+    scene = env._apply_action(state.scene, a)
+    v = np.asarray(scene.bodies.lin_vel)
+    np.testing.assert_allclose(v[:, 0], [[2.0, 0.0, 0.0]] * 2)  # clamped * 2
+    np.testing.assert_allclose(v[:, 1], [[0.0, 0.0, -1.0]] * 2)  # z allowed

@@ -76,7 +76,7 @@ def test_rope_pole_collision():
         for i in range(2):
             d = hanger - state.scene.bodies.pos[:, i]
             d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
-            a = a.at[:, 6 * i : 6 * i + 3].set(d)
+            a = a.at[:, 3 * i : 3 * i + 3].set(d)
         state, _ = env.step(state, a)
         state = state._replace(episode_step=jnp.zeros_like(state.episode_step))
     dist = np.linalg.norm(
@@ -137,3 +137,16 @@ def test_object_target_distance_info():
         d = np.asarray(ts.info["object_target_distance"])
         assert d.shape == (B,), task
         assert np.isfinite(d).all(), task
+
+
+def test_rope_action_term_parity():
+    """Reference rope CubeActionTerm: 3-dim per cube, clamp(+-1)*5.0, z zeroed
+    (rope_tasks/mdp/actions.py:31-72)."""
+    env = make_env("rope_closing", num_envs=2)
+    assert env.cfg.action_dim == 6  # 2 grippers x 3
+    state = env.reset(jax.random.PRNGKey(0))
+    a = jnp.asarray([[2.0, 0.0, 1.0, 0.0, -3.0, 0.0]] * 2)  # over-limit values
+    scene = env._apply_action(state.scene, a)
+    v = np.asarray(scene.bodies.lin_vel)
+    np.testing.assert_allclose(v[:, 0], [[5.0, 0.0, 0.0]] * 2)  # clamped*5, z=0
+    np.testing.assert_allclose(v[:, 1], [[0.0, -5.0, 0.0]] * 2)
