@@ -93,6 +93,7 @@ class Trainer:
         projection: Optional[BaseProjection] = None,
         policy_builder: Optional[RigidGraphBuilder] = None,
         critic_builder: Optional[RigidGraphBuilder] = None,
+        fused_collection: object = "auto",
     ):
         self.env = env
         self.policy = policy
@@ -101,6 +102,14 @@ class Trainer:
         self.projection = projection
         self.policy_builder = policy_builder or RigidGraphBuilder.from_env(env, dist_as_pos=True)
         self.critic_builder = critic_builder or RigidGraphBuilder.from_env(env, dist_as_pos=False)
+
+        # fused Pallas HEPi forward for the no-grad (collection/eval) policy
+        # passes; the update path keeps the Flax/XLA implementation (autodiff)
+        from ..models.hepi_fused import fused_hepi_supported
+
+        if fused_collection == "auto":
+            fused_collection = jax.default_backend() == "tpu" and fused_hepi_supported(policy)
+        self.fused_collection = bool(fused_collection) and fused_hepi_supported(policy)
 
         B = env.cfg.num_envs
         n_samples = cfg.steps_per_batch * B
@@ -161,11 +170,18 @@ class Trainer:
 
     # --------------------------------------------------------------- forward
 
-    def _policy_dist(self, params, tobs, env_ids=None, noise_key=None) -> G.DiagGaussian:
+    def _policy_dist(self, params, tobs, env_ids=None, noise_key=None, inference=False) -> G.DiagGaussian:
         if noise_key is not None and getattr(self.policy_builder, "training_noise", False):
             graph, feats = self.policy_builder.build(tobs, env_ids, noise_key=noise_key)
         else:
             graph, feats = self.policy_builder.build(tobs, env_ids)
+        if inference and self.fused_collection:
+            from ..models.hepi_fused import hepi_policy_dist_fused
+
+            # interpret off-TPU so CPU tests can exercise this path
+            return hepi_policy_dist_fused(
+                self.policy, params, graph, feats, interpret=jax.default_backend() != "tpu"
+            )
         return self.policy.apply(params, graph, feats)
 
     def _value(self, params, tobs, env_ids=None, noise_key=None) -> jnp.ndarray:
@@ -186,7 +202,7 @@ class Trainer:
             key, k_act = jax.random.split(key)
 
             norm, tobs = obs_norm_step(norm, obs, update=True)
-            dist = self._policy_dist(state.actor_params, tobs)
+            dist = self._policy_dist(state.actor_params, tobs, inference=True)
             action = G.sample(k_act, dist)
             log_prob = G.log_prob(dist, action)
             value = self._value(state.critic_params, tobs)
@@ -392,7 +408,7 @@ class Trainer:
             env_state, obs, key, cum, ep_sum, ep_cnt = carry
             key, k = jax.random.split(key)
             _, tobs = obs_norm_step(state.norm, obs, update=False)
-            dist = self._policy_dist(state.actor_params, tobs)
+            dist = self._policy_dist(state.actor_params, tobs, inference=True)
             action = dist.mean if deterministic else G.sample(k, dist)
             env_state, ts = env.step(env_state, action)
             cum = cum + ts.reward
@@ -421,7 +437,7 @@ class Trainer:
             env_state, obs, key, succ, dist_sum, ends = carry
             key, k = jax.random.split(key)
             _, tobs = obs_norm_step(state.norm, obs, update=False)
-            dist = self._policy_dist(state.actor_params, tobs)
+            dist = self._policy_dist(state.actor_params, tobs, inference=True)
             action = dist.mean if deterministic else G.sample(k, dist)
             env_state, ts = env.step(env_state, action)
             d = ts.info["object_target_distance"]
