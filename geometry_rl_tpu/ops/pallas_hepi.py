@@ -71,23 +71,28 @@ class HEPiConvWeights(NamedTuple):
 
 def _poly2_ref(x):
     """Reference ordering (ponita.polynomial_features): cubic terms are
-    outer(quad, x) flattened as [q0a, q0b, q1a, q1b, ...]."""
+    outer(quad, x) flattened as [q0a, q0b, q1a, q1b, ...]. Built from
+    column slices + concat (Mosaic cannot reshape the minor dims here)."""
     a = x[..., 0:1]
     b = x[..., 1:2]
     quad = jnp.concatenate([a * a, a * b, b * a, b * b], axis=-1)
-    cub = jnp.stack([quad * a, quad * b], axis=-1).reshape(x.shape[:-1] + (8,))
+    qa = quad * a
+    qb = quad * b
+    cub = jnp.concatenate(
+        [v[..., i : i + 1] for i in range(4) for v in (qa, qb)], axis=-1
+    )
     return jnp.concatenate([x, quad, cub], axis=-1)
 
 
 def _block_one_hot(idx_ref_row, n_per_env, tb, dtype):
     """[TB, E] indices -> [TB*E, TB*n] block-diagonal one-hot (iota compare);
     row (t, e) has a 1 at column t*n + idx[t, e]."""
-    tb_e = idx_ref_row.shape[0] * idx_ref_row.shape[1]
-    flat_idx = idx_ref_row.reshape(tb_e)  # [TB*E]
-    env_of_row = jax.lax.broadcasted_iota(jnp.int32, (tb, idx_ref_row.shape[1]), 0).reshape(tb_e)
-    target = env_of_row * n_per_env + flat_idx
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tb_e, tb * n_per_env), 1)
-    return (cols == target[:, None]).astype(dtype)
+    e = idx_ref_row.shape[1]
+    env_of_row = jax.lax.broadcasted_iota(jnp.int32, (tb, e), 0)
+    target = env_of_row * n_per_env + idx_ref_row  # [TB, E]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tb, e, tb * n_per_env), 2)
+    oh = (cols == target[:, :, None]).astype(dtype)  # [TB, E, TB*n]
+    return oh.reshape(tb * e, tb * n_per_env)  # major merge, lanes unchanged
 
 
 def _conv_kernel(
@@ -123,6 +128,13 @@ def _conv_kernel(
 ):
     f32 = jnp.float32
 
+    # Mosaic layout rule driving this kernel: the LANE (last) dim never
+    # changes size across a reshape — everything lives in [rows, C] (or
+    # [rows, small]) form, per-orientation work is static slices and
+    # row-major concats. No [*, O*C] tensors.
+    src_idx = src_ref[...].reshape(tb, e)
+    dst_idx = dst_ref[...].reshape(tb, e)
+
     # ---- pairwise invariants from rel_pos (hepi.py:109-123) ---------------
     rel = rel_ref[...].astype(f32).reshape(tb * e, 3)  # [TBE, 3]
     ori = ori_ref[...].astype(f32)  # [O, 3]
@@ -131,51 +143,69 @@ def _conv_kernel(
     rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)  # [TBE, 1]
     inv2 = jnp.sqrt(jnp.maximum(rel_sq - inv1 * inv1, 0.0))  # [TBE, O]
 
-    # ---- basis MLP + spatial kernel: rows = TB*E*O ------------------------
-    # spatial_inv [TBE, O, 2] -> poly feats [TBE*O, 14]
-    si = jnp.stack([inv1, inv2], axis=-1).reshape(tb * e * o, 2)
-    feats = _poly2_ref(si)  # [TBEO, 14]
+    # ---- basis MLP + spatial kernel, o-major rows [(o, e), .] -------------
+    # si rows ordered o-major so per-o row blocks are contiguous slices
+    si = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(inv1, oo, oo + 1, axis=1),
+                    jax.lax.slice_in_dim(inv2, oo, oo + 1, axis=1),
+                ],
+                axis=-1,
+            )
+            for oo in range(o)
+        ],
+        axis=0,
+    )  # [O*TBE, 2]
+    feats = _poly2_ref(si)  # [O*TBE, 14]
     h = jax.nn.gelu(
         jax.lax.dot_general(feats, w1_ref[...], (((1,), (0,)), ((), ()))) + b1_ref[...]
     )
     basis = jax.nn.gelu(
         jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ()))) + b2_ref[...]
     )
-    kern = jax.lax.dot_general(basis, wk_ref[...], (((1,), (0,)), ((), ())))  # [TBEO, C]
+    kern = jax.lax.dot_general(basis, wk_ref[...], (((1,), (0,)), ((), ())))  # [O*TBE, C]
 
-    # ---- gather: block-diagonal one-hot matmul ----------------------------
-    x_src = x_src_ref[...].astype(f32).reshape(tb * ns, o * c)
-    oh_src = _block_one_hot(src_ref[...], ns, tb, f32)  # [TBE, TB*Ns]
-    x_j = jax.lax.dot_general(oh_src, x_src, (((1,), (0,)), ((), ())))  # [TBE, OC]
-
-    # ---- messages + scatter ----------------------------------------------
+    # ---- per-orientation gather -> message -> scatter ---------------------
+    oh_src = _block_one_hot(src_idx, ns, tb, f32)  # [TBE, TB*Ns]
+    oh_dst = _block_one_hot(dst_idx, nd, tb, f32)  # [TBE, TB*Nd]
     mask_rows = mask_ref[...].astype(f32).reshape(tb * e, 1)
-    messages = kern.reshape(tb * e, o * c) * x_j * mask_rows
-    oh_dst = _block_one_hot(dst_ref[...], nd, tb, f32)  # [TBE, TB*Nd]
-    x_1 = jax.lax.dot_general(
-        oh_dst, messages, (((0,), (0,)), ((), ()))
-    )  # [TB*Nd, OC] (contract rows)
+    x_src = x_src_ref[...].astype(f32)  # [TB, Ns, O, C]
 
-    # ---- fiber (orientation) conv: x2[n,p,:] = sum_o x1[n,o,:] * fk[o,p,:]
-    x_1 = x_1.reshape(tb * nd, o, c)
-    fk = fk_ref[...].astype(f32)  # [O, O(P), C]
-    x_2 = jnp.zeros((tb * nd, o, c), f32)
+    x1_blocks = []  # per-o [TB*Nd, C]
     for oo in range(o):
-        x_2 = x_2 + x_1[:, oo, None, :] * fk[oo][None]  # [rows, P, C] FMA
-    x_2 = x_2 / float(o)
+        xs_o = jax.lax.slice_in_dim(x_src, oo, oo + 1, axis=2).reshape(tb * ns, c)
+        x_j = jax.lax.dot_general(oh_src, xs_o, (((1,), (0,)), ((), ())))  # [TBE, C]
+        kern_o = jax.lax.slice_in_dim(kern, oo * tb * e, (oo + 1) * tb * e, axis=0)
+        msg = kern_o * x_j * mask_rows
+        x1_blocks.append(jax.lax.dot_general(oh_dst, msg, (((0,), (0,)), ((), ()))))
 
-    # ---- ConvNeXt update (conv.py:64-113) ---------------------------------
-    x_2 = x_2.reshape(tb * nd * o, c) + bias_ref[...]
-    mu = jnp.mean(x_2, axis=-1, keepdims=True)
-    var = jnp.mean((x_2 - mu) ** 2, axis=-1, keepdims=True)
-    hn = (x_2 - mu) * jax.lax.rsqrt(var + 1e-6) * lns_ref[...] + lnb_ref[...]
-    hm = jax.nn.gelu(
-        jax.lax.dot_general(hn, wm1_ref[...], (((1,), (0,)), ((), ()))) + bm1_ref[...]
-    )
-    hm = jax.lax.dot_general(hm, wm2_ref[...], (((1,), (0,)), ((), ()))) + bm2_ref[...]
+    # ---- fiber (orientation) conv + ConvNeXt, per output orientation p ----
+    fk = fk_ref[...].astype(f32)  # [O, P, C]
+    x_dst = x_dst_ref[...].astype(f32)  # [TB, Nd, O, C]
+    bias = bias_ref[...]
+    lns = lns_ref[...]
+    lnb = lnb_ref[...]
+    for p in range(o):
+        x2_p = jnp.zeros((tb * nd, c), f32)
+        for oo in range(o):
+            fk_op = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(fk, oo, oo + 1, axis=0), p, p + 1, axis=1
+            ).reshape(1, c)
+            x2_p = x2_p + x1_blocks[oo] * fk_op
+        x2_p = x2_p / float(o) + bias  # [TB*Nd, C]
 
-    x_dst = x_dst_ref[...].astype(f32).reshape(tb * nd * o, c)
-    out_ref[...] = (x_dst + hm).reshape(tb, nd, o, c).astype(out_ref.dtype)
+        mu = jnp.mean(x2_p, axis=-1, keepdims=True)
+        var = jnp.mean((x2_p - mu) ** 2, axis=-1, keepdims=True)
+        hn = (x2_p - mu) * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+        hm = jax.nn.gelu(
+            jax.lax.dot_general(hn, wm1_ref[...], (((1,), (0,)), ((), ()))) + bm1_ref[...]
+        )
+        hm = jax.lax.dot_general(hm, wm2_ref[...], (((1,), (0,)), ((), ()))) + bm2_ref[...]
+
+        xd_p = jax.lax.slice_in_dim(x_dst, p, p + 1, axis=2).reshape(tb * nd, c)
+        out_ref[:, :, p : p + 1, :] = (xd_p + hm).reshape(tb, nd, 1, c).astype(out_ref.dtype)
 
 
 def hepi_conv_fused(
@@ -222,16 +252,17 @@ def hepi_conv_fused(
             env_block((Ns, O, C)),
             env_block((Nd, O, C)),
             env_block((E, 3)),
-            env_block((E,)),
-            env_block((E,)),
-            env_block((E,)),
+            env_block((E, 1)),
+            env_block((E, 1)),
+            env_block((E, 1)),
             shared(ori_grid),
             *[shared(x) for x in weights],
         ],
         out_specs=env_block((Nd, O, C)),
         out_shape=jax.ShapeDtypeStruct((Bp, Nd, O, C), x_dst.dtype),
         interpret=interpret,
-    )(x_src, x_dst, rel_pos, src, dst, edge_mask, ori_grid, *weights)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x_src, x_dst, rel_pos, src[..., None], dst[..., None], edge_mask[..., None], ori_grid, *weights)
     return out[:B]
 
 

@@ -104,11 +104,18 @@ class Trainer:
         self.critic_builder = critic_builder or RigidGraphBuilder.from_env(env, dist_as_pos=False)
 
         # fused Pallas HEPi forward for the no-grad (collection/eval) policy
-        # passes; the update path keeps the Flax/XLA implementation (autodiff)
+        # passes; the update path keeps the Flax/XLA implementation (autodiff).
+        # MEASURED (v5e, 1024 envs): the fused kernel is 2.2x SLOWER than the
+        # XLA path (16.0 vs 7.4 ms fwd) — after the one-hot MXU lowering,
+        # XLA's whole-batch einsums already sit near the bandwidth floor for
+        # these 64-channel graphs, while the kernel pays f32 operand DMA and
+        # lane-sliced per-orientation basis work (scripts/profile_fused*.py).
+        # "auto" therefore resolves to OFF; kept as an explicit opt-in and a
+        # correctness-gated base for a future bf16/lane-major redesign.
         from ..models.hepi_fused import fused_hepi_supported
 
         if fused_collection == "auto":
-            fused_collection = jax.default_backend() == "tpu" and fused_hepi_supported(policy)
+            fused_collection = False
         self.fused_collection = bool(fused_collection) and fused_hepi_supported(policy)
 
         B = env.cfg.num_envs
