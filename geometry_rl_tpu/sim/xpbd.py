@@ -202,8 +202,19 @@ def _solve_fixed_joints(
     oh_a = jax.nn.one_hot(ia, NB, dtype=pos.dtype)  # [NJ, NB] constant-folded
     oh_b = jax.nn.one_hot(ib, NB, dtype=pos.dtype)
 
+    # Jacobi averaging: each joint's correction is computed as if it acted
+    # alone; a body shared by K joints would accumulate K full corrections
+    # (scatter-ADD) and overshoot — the two-agent scenes (two grippers welded
+    # to one object) diverge within ~60 control steps without this. Scale
+    # each contribution by 1/K of the receiving body; K=1 everywhere else,
+    # so single-joint scenes are bit-identical.
+    joint_count = jnp.maximum(oh_a.sum(axis=0) + oh_b.sum(axis=0), 1.0)  # [NB] static
+    inv_count_a = (1.0 / joint_count)[ia][None, :, None]  # [1, NJ, 1]
+    inv_count_b = (1.0 / joint_count)[ib][None, :, None]
+
     def scatter(vals, idx):
         oh = oh_a if idx is ia else oh_b
+        vals = vals * (inv_count_a if idx is ia else inv_count_b)
         return jnp.einsum("jn,bjd->bnd", oh, vals)
 
     # --- stage 1: orientation weld (drive q_b -> q_a * rel_quat) ----------

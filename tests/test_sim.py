@@ -551,3 +551,35 @@ def test_cloth_self_collision_env_steps():
     for _ in range(5):
         state, ts = env.step(state, jnp.zeros((2, env.cfg.action_dim)))
     assert bool(jnp.isfinite(state.scene.particles.pos).all())
+
+
+def test_two_joints_on_one_body_stay_stable():
+    """Two grippers welded to ONE object (two-agent scenes): the Jacobi joint
+    pass must average, not add, corrections to the shared body. The fixture
+    is a real state captured from a diverging 1000-env two-agent run (env
+    with shape 2, step 59) — without the 1/K joint-count scaling it goes
+    NaN within one control step and the whole fleet follows."""
+    import os
+
+    from geometry_rl_tpu.envs import make_env
+    from geometry_rl_tpu.envs.rigid import RigidEnvState
+    from geometry_rl_tpu.sim import SceneState as SS
+
+    d = np.load(os.path.join(os.path.dirname(__file__), "golden", "two_agent_joint_stress.npz"))
+    BB = 8  # round-robin: env index == shape id; fixture is shape 2
+    env = make_env("rigid_insertion_two_agents", num_envs=BB)
+    tile = lambda a: jnp.asarray(np.tile(np.asarray(a)[None], (BB,) + (1,) * np.asarray(a).ndim))
+    state = RigidEnvState(
+        scene=SS(bodies=RigidBodyState(
+            pos=tile(d["pos"]), quat=tile(d["quat"]),
+            lin_vel=tile(d["lin"]), ang_vel=tile(d["ang"]))),
+        episode_step=jnp.full((BB,), int(d["step"]), jnp.int32),
+        key=jax.random.PRNGKey(0),
+        prev_action=jnp.zeros((BB, env.cfg.action_dim)),
+    )
+    action = jnp.asarray(np.tile(d["action"][None], (BB, 1)))
+    s = state
+    for _ in range(10):
+        s, _ = env.step(s, action)
+    assert bool(jnp.isfinite(s.scene.bodies.pos).all()), "two-joint assembly diverged"
+    assert float(jnp.abs(s.scene.bodies.pos).max()) < 10.0
