@@ -141,8 +141,8 @@ class ClothTaskCfg:
     bend_compliance: float = 1.0
     # PhysX particle-cloth self-collision (particle_contact_offset,
     # scene_cfg.py:43-45 restOffset = 0.5/(N+1), separation = 2*restOffset).
-    # Off by default: enables the dense all-pairs pass in the XLA solver
-    # (the tiled Pallas solver does not implement it — _physics falls back).
+    # Off by default: enables the dense all-pairs pass in BOTH the XLA solver
+    # and the Pallas kernels (parity-gated in tests/test_envs_cloth.py).
     self_collision: bool = False
     self_collision_distance: Optional[float] = None  # default 2*restOffset
 
@@ -352,18 +352,24 @@ class ClothEnv:
             hook_radius=cfg.hanger_radius,
             hook_half_len=cfg.hanger_half_len,
             hook_friction=0.2,
+            self_min_dist=float(self.self_contacts[0].min_dist) if self.self_contacts else 0.0,
         )
         topo = []
         for g in self.distance_groups:
             topo += [g.i, g.j, g.rest]
         self.group_topology = topo
         self.group_mask_list = [g.mask for g in self.distance_groups]
+        # self-collision operands padded over the G pseudo-body rows
+        if self.self_contacts:
+            sc = self.self_contacts[0]
+            self.self_pair_mask_full = jnp.pad(sc.pair_mask, ((0, G), (0, G)))
+            self.self_active_full = jnp.pad(sc.active, ((0, 0), (0, G)))
+        else:
+            self.self_pair_mask_full = self.self_active_full = None
 
         mode = cfg.use_pallas_solver
         if mode == "auto":
             mode = "tiled" if jax.default_backend() == "tpu" else False
-        if cfg.self_collision:
-            mode = False  # self-contacts only exist in the XLA solver
         self.solver_mode = mode
 
     def _build_obs_spec(self) -> ObsSpec:
@@ -541,6 +547,8 @@ class ClothEnv:
                 self.corner_indices,
                 self.group_topology,
                 self.group_mask_list,
+                self.self_pair_mask_full,
+                self.self_active_full,
                 interpret,
             )
             new_p, new_b = x[:, : x_p.shape[1]], x[:, x_p.shape[1] :]

@@ -9,6 +9,7 @@ from .types import (  # noqa: F401
 )
 from .xpbd import (  # noqa: F401
     BodyAttachment,
+    BodyPairContact,
     ContactSet,
     DistanceGroup,
     ParticleSDFContact,

@@ -4,14 +4,14 @@ The XLA solver (sim/xpbd.py) dispatches each constraint-group solve as its own
 fusion; this kernel runs the ENTIRE position solve per environment inside VMEM
 — one HBM read of the predicted state and one write of the solved state.
 
-MEASURED RESULT (v5e, 256 envs): the XLA path wins decisively — 137k vs 4.8k
-env-steps/s. With the one-hot MXU scatter lowering, XLA batches every
-group-solve across all envs at once, while this kernel's one-env-per-program
-grid serializes 130 tiny [C,PT]x[PT,3] matmuls per env (3-lane MXU
-utilization). Kept as a correctness-verified baseline for a batch-tiled
-redesign (PLAN.md: vectorize the env dim INSIDE the kernel, 8+ envs per
-program, coordinates in lanes); the production path remains the XLA solver
-(ClothTaskCfg.use_pallas_solver defaults False).
+Two kernels: the original one-env-per-program grid (kept as a
+correctness-verified baseline — MEASURED (v5e, 256 envs) 4.8k env-steps/s,
+its 130 tiny [C,PT]x[PT,3] matmuls per env use 3 MXU lanes), and the
+batch-tiled redesign `cloth_position_solve_tiled` with the ENV axis in lanes
+(full-width [C,PT]x[PT,BT] contractions), MEASURED 1.9-2.3x faster than the
+XLA path at flagship sizes. The tiled kernel is the production path on TPU:
+ClothTaskCfg.use_pallas_solver defaults "auto" -> "tiled" on TPU, False
+elsewhere (envs/cloth.py).
 
 Formulation: gripper cubes are appended as pseudo-particles (cloth cubes have
 rotation locked and attach at their center of mass, so their rigid dynamics
@@ -47,6 +47,10 @@ class ClothSolveSpec(NamedTuple):
     hook_radius: float
     hook_half_len: float
     hook_friction: float
+    # all-pairs particle self-collision (ParticleSelfContact); 0 = disabled.
+    # When > 0 the kernels take two extra operands: pair_mask [PT, PT]
+    # (zero-padded over the G pseudo-body rows) and a per-env active gate.
+    self_min_dist: float = 0.0
 
 
 def _one_hot_rows(idx: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
@@ -55,10 +59,15 @@ def _one_hot_rows(idx: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
     return (cols == idx[:, None]).astype(dtype)
 
 
-def _solve_env(spec: ClothSolveSpec, x, prev_x, inv_mass, hanger, att_body_w, att_p, groups):
+def _solve_env(
+    spec: ClothSolveSpec, x, prev_x, inv_mass, hanger, att_body_w, att_p, groups,
+    self_pair_mask=None, self_active=None,
+):
     """Position solve for ONE env: x [PT, 3] f32 (PT = P + G).
 
     groups: list of (i_idx [C], j_idx [C], rest [C], mask [C]) arrays.
+    self_pair_mask [PT, PT] / self_active [PT]: all-pairs self-collision
+    gates (only when spec.self_min_dist > 0).
     """
     PT = spec.num_particles + spec.num_bodies
     dt2 = spec.dt * spec.dt
@@ -123,9 +132,25 @@ def _solve_env(spec: ClothSolveSpec, x, prev_x, inv_mass, hanger, att_body_w, at
         active = (phi < 0.0).astype(x.dtype)[:, None] * contact_mask
         return x + active * (dx_n - scale * disp_t)
 
+    def self_pass(x):
+        # mirrors _solve_self_contacts (sim/xpbd.py) for one env; pseudo-body
+        # rows carry pair_mask 0 so only cloth particles interact
+        d = x[:, None, :] - x[None, :, :]  # [PT, PT, 3]
+        dist = jnp.sqrt(jnp.sum((d + 1e-12) ** 2, axis=-1))
+        pair_w = inv_mass[:, None] + inv_mass[None, :]
+        viol = jnp.maximum(spec.self_min_dist - dist, 0.0) * self_pair_mask
+        viol = viol * self_active[:, None] * self_active[None, :]
+        n = d / jnp.maximum(dist, 1e-9)[..., None]
+        corr = viol / jnp.maximum(pair_w, 1e-12) * inv_mass[:, None]
+        counts = jnp.maximum((viol > 0).astype(x.dtype).sum(axis=-1), 1.0)
+        dx = jnp.sum(corr[..., None] * n, axis=1) / counts[:, None]
+        return x + dx
+
     def iteration(_, x):
         for g, (i_idx, j_idx, rest, mask) in enumerate(groups):
             x = distance_pass(x, i_idx, j_idx, rest, mask, spec.group_compliance[g])
+        if spec.self_min_dist > 0.0:
+            x = self_pass(x)
         x = attachment_pass(x)
         x = contact_pass(x)
         return x
@@ -135,11 +160,18 @@ def _solve_env(spec: ClothSolveSpec, x, prev_x, inv_mass, hanger, att_body_w, at
 
 def _kernel(spec: ClothSolveSpec, refs):
     """refs layout: x, prev, inv_mass, hanger, bw, att_p,
-    then per group (i, j, rest, mask), then out."""
+    then per group (i, j, rest, mask), then [pair_mask, active] when
+    self-collision is enabled, then out."""
     n_g = len(spec.group_sizes)
     x_ref, prev_ref, w_ref, hanger_ref, bw_ref, attp_ref = refs[:6]
     group_refs = refs[6 : 6 + 4 * n_g]
-    out_ref = refs[6 + 4 * n_g]
+    rest = refs[6 + 4 * n_g :]
+    if spec.self_min_dist > 0.0:
+        pm_ref, act_ref, out_ref = rest
+        self_pm, self_act = pm_ref[:], act_ref[0, :, 0]
+    else:
+        (out_ref,) = rest
+        self_pm = self_act = None
 
     groups = []
     for g in range(n_g):
@@ -155,6 +187,8 @@ def _kernel(spec: ClothSolveSpec, refs):
         bw_ref[0, :, 0],
         attp_ref[:],
         groups,
+        self_pm,
+        self_act,
     )
 
 
@@ -163,12 +197,16 @@ def _kernel(spec: ClothSolveSpec, refs):
 # ---------------------------------------------------------------------------
 
 
-def _solve_tile(spec: ClothSolveSpec, xs, prevs, W, hanger, bw, att_p, groups):
+def _solve_tile(
+    spec: ClothSolveSpec, xs, prevs, W, hanger, bw, att_p, groups,
+    self_pair_mask=None, self_active=None,
+):
     """Position solve for a TILE of envs, coordinates unrolled.
 
     xs/prevs: 3-tuple of [PT, BT] (x/y/z planes); W: [PT, BT] inverse masses;
     hanger: [3, BT]; bw: [G, BT]; groups: (i_idx [C], j_idx [C], rest [C],
-    mask [C, BT]) per conflict-free group.
+    mask [C, BT]) per conflict-free group. self_pair_mask [PT, PT] /
+    self_active [PT, BT] gate the all-pairs self-collision pass.
 
     Every gather/scatter is a [C, PT] x [PT, BT] (resp. [PT, C] x [C, BT])
     matmul with the env tile in lanes — full-width MXU instead of the 3-lane
@@ -249,9 +287,36 @@ def _solve_tile(spec: ClothSolveSpec, xs, prevs, W, hanger, bw, att_p, groups):
             x + active * (-pen * nk - scale * tk) for x, nk, tk in zip(xs, n, disp_t)
         )
 
+    def self_pass(xs):
+        # all-pairs self-collision with envs in lanes: the [PT, PT, BT]
+        # pairwise tensor is too large for VMEM at BT=128, so sweep the i
+        # axis in sublane chunks of 8 (~1 MB transients per chunk) and
+        # concatenate the per-chunk corrections. Mirrors _solve_self_contacts.
+        CI = 8
+        chunks = ([], [], [])
+        for c0 in range(0, PT, CI):
+            c1 = min(c0 + CI, PT)
+            xi = tuple(x[c0:c1] for x in xs)  # [ci, BT]
+            d = tuple(a[:, None, :] - b[None, :, :] for a, b in zip(xi, xs))  # [ci, PT, BT]
+            dist = jnp.sqrt(sum((dk + 1e-12) ** 2 for dk in d))
+            wi = W[c0:c1][:, None, :]
+            pair_w = wi + W[None, :, :]
+            viol = jnp.maximum(spec.self_min_dist - dist, 0.0) * self_pair_mask[c0:c1][:, :, None]
+            viol = viol * self_active[c0:c1][:, None, :] * self_active[None, :, :]
+            inv = 1.0 / jnp.maximum(dist, 1e-9)
+            corr = viol / jnp.maximum(pair_w, 1e-12) * wi  # [ci, PT, BT]
+            counts = jnp.maximum((viol > 0).astype(W.dtype).sum(axis=1), 1.0)  # [ci, BT]
+            scaled = corr * inv
+            for k in range(3):
+                chunks[k].append((scaled * d[k]).sum(axis=1) / counts)
+        dx = tuple(jnp.concatenate(ch, axis=0) for ch in chunks)
+        return tuple(x + dk for x, dk in zip(xs, dx))
+
     def iteration(_, xs):
         for dg in dgroups:
             xs = distance_pass(xs, *dg)
+        if spec.self_min_dist > 0.0:
+            xs = self_pass(xs)
         xs = attachment_pass(xs)
         xs = contact_pass(xs)
         return xs
@@ -263,7 +328,13 @@ def _kernel_tiled(spec: ClothSolveSpec, refs):
     n_g = len(spec.group_sizes)
     x_ref, prev_ref, w_ref, hanger_ref, bw_ref, attp_ref = refs[:6]
     group_refs = refs[6 : 6 + 4 * n_g]
-    out_ref = refs[6 + 4 * n_g]
+    rest = refs[6 + 4 * n_g :]
+    if spec.self_min_dist > 0.0:
+        pm_ref, act_ref, out_ref = rest
+        self_pm, self_act = pm_ref[:], act_ref[:]
+    else:
+        (out_ref,) = rest
+        self_pm = self_act = None
 
     groups = []
     for g in range(n_g):
@@ -280,11 +351,13 @@ def _kernel_tiled(spec: ClothSolveSpec, refs):
         bw_ref[:],
         attp_ref[:],
         groups,
+        self_pm,
+        self_act,
     )
     out_ref[:] = jnp.stack(xs)
 
 
-@partial(jax.jit, static_argnums=(0, 9))
+@partial(jax.jit, static_argnums=(0, 11))
 def cloth_position_solve_tiled(
     spec: ClothSolveSpec,
     x: jnp.ndarray,  # [B, PT, 3]
@@ -295,6 +368,8 @@ def cloth_position_solve_tiled(
     att_particle: jnp.ndarray,  # [G] int32
     group_topology: Sequence[jnp.ndarray],
     group_masks: Sequence[jnp.ndarray],  # per group [B, C]
+    self_pair_mask: jnp.ndarray = None,  # [PT, PT] (self_min_dist > 0 only)
+    self_active: jnp.ndarray = None,  # [B, PT]
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batch-tiled variant of `cloth_position_solve`: grid over tiles of
@@ -333,6 +408,11 @@ def cloth_position_solve_tiled(
         i_arr, j_arr, r_arr = group_topology[3 * g : 3 * g + 3]
         in_specs += [shared(i_arr.shape), shared(j_arr.shape), shared(r_arr.shape), tiled(masksT[g].shape)]
         operands += [i_arr, j_arr, r_arr, masksT[g]]
+    if spec.self_min_dist > 0.0:
+        assert self_pair_mask is not None and self_active is not None
+        actT = self_active.T  # [PT, B]
+        in_specs += [shared(self_pair_mask.shape), tiled((PT, B))]
+        operands += [self_pair_mask, actT]
 
     def kernel(*refs):
         _kernel_tiled(spec, refs)
@@ -348,7 +428,7 @@ def cloth_position_solve_tiled(
     return jnp.transpose(outT, (2, 1, 0))
 
 
-@partial(jax.jit, static_argnums=(0, 9))
+@partial(jax.jit, static_argnums=(0, 11))
 def cloth_position_solve(
     spec: ClothSolveSpec,
     x: jnp.ndarray,  # [B, PT, 3] predicted positions (cloth + cube pseudo-particles)
@@ -359,6 +439,8 @@ def cloth_position_solve(
     att_particle: jnp.ndarray,  # [G] int32 corner particle indices
     group_topology: Sequence[jnp.ndarray],  # per group: i [C], j [C], rest [C] interleaved
     group_masks: Sequence[jnp.ndarray],  # per group [B, C]
+    self_pair_mask: jnp.ndarray = None,  # [PT, PT] (self_min_dist > 0 only)
+    self_active: jnp.ndarray = None,  # [B, PT]
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, PT, _ = x.shape
@@ -396,6 +478,10 @@ def cloth_position_solve(
         m_arr = group_masks3[g]
         in_specs += [shared(i_arr.shape), shared(j_arr.shape), shared(r_arr.shape), batched((m_arr.shape[1], 1))]
         operands += [i_arr, j_arr, r_arr, m_arr]
+    if spec.self_min_dist > 0.0:
+        assert self_pair_mask is not None and self_active is not None
+        in_specs += [shared(self_pair_mask.shape), batched((PT, 1))]
+        operands += [self_pair_mask, self_active[..., None]]
 
     def kernel(*refs):
         _kernel(spec, refs)

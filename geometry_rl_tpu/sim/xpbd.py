@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..utils.math import quat_apply, quat_conjugate, quat_mul, quat_normalize
 from .types import FixedJointSpec, ParticleState, RigidBodySpec, RigidBodyState, SceneState
 
-GRAVITY = jnp.array([0.0, 0.0, -9.81], dtype=jnp.float32)
+GRAVITY_MAG = 9.81
+GRAVITY = jnp.array([0.0, 0.0, -GRAVITY_MAG], dtype=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +361,7 @@ def _solve_body_pair_contact(pos, quat, spec, contact: BodyPairContact):
 
     pos = pos.at[:, bi].set(new_pi).at[:, bj].set(new_pj)
     quat = quat.at[:, bi].set(new_qi).at[:, bj].set(new_qj)
-    return pos, quat
+    return pos, quat, lam
 
 
 def _solve_distance_group(x, inv_mass, group: DistanceGroup, dt):
@@ -482,49 +483,154 @@ def _velocity_pass_body_contact(
     r = quat_apply(q_b[:, None, :], lp)  # [B, P, 3] final-pose offsets
     world_pts = p_b[:, None, :] + r
     phi, n = contact.sdf(world_pts)
-    # a point is in contact this substep iff the position solve loaded it
-    active = (lam_n > 0.0).astype(pos.dtype)
+    # a point is in contact iff the position solve loaded it AND it is still
+    # touching at the final pose (a point that touched in an early iteration
+    # but separated must not receive stale-normal impulses)
+    active = ((lam_n > 0.0) & (phi < 1e-3)).astype(pos.dtype)  # [B, P]
+
+    # Aggregate the active points into ONE contact manifold: centroid r_bar,
+    # mean normal, summed normal load. Per-point independent impulses
+    # over-correct the SHARED body velocity when several coplanar points act
+    # at once (a box flat on 4 corners would rebound faster than e*v_in);
+    # one impulse at the centroid is exact for a common-normal manifold —
+    # the flat/tilted surface contacts this pass exists for — and reduces to
+    # the per-point case for a single active point.
+    k = active.sum(axis=1)  # [B]
+    k_safe = jnp.maximum(k, 1.0)[:, None]
+    any_c = (k > 0.0).astype(pos.dtype)  # [B]
+    r_bar = (active[..., None] * r).sum(axis=1) / k_safe  # [B, 3]
+    n_sum = (active[..., None] * n).sum(axis=1)
+    n_bar = n_sum / jnp.maximum(jnp.linalg.norm(n_sum, axis=-1, keepdims=True), 1e-9)
+    lam_tot = (active * lam_n).sum(axis=1)  # [B]
 
     im, ii = spec.inv_mass[b], spec.inv_inertia[b]
-    w_n = _generalized_inv_mass(q_b[:, None, :], im, ii, r, n)
-    p_n_budget = lam_n / dt  # normal impulse over the substep
+    w_n = _generalized_inv_mass(q_b, im, ii, r_bar, n_bar)  # [B]
 
-    # contact-point velocities (post-solve and pre-solve)
+    # manifold velocities (post-solve and pre-solve approach velocity)
     pred_r = quat_apply(pred_quat[:, b][:, None, :], lp)
-    v_pt = lin_vel[:, b][:, None, :] + jnp.cross(ang_vel[:, b][:, None, :], r)
-    v_pt_pre = v_pre[:, b][:, None, :] + jnp.cross(w_pre[:, b][:, None, :], pred_r)
-    vn = jnp.sum(v_pt * n, axis=-1)  # [B, P]
-    vn_pre = jnp.sum(v_pt_pre * n, axis=-1)
+    pred_r_bar = (active[..., None] * pred_r).sum(axis=1) / k_safe
+    v_pt = lin_vel[:, b] + jnp.cross(ang_vel[:, b], r_bar)  # [B, 3]
+    v_pt_pre = v_pre[:, b] + jnp.cross(w_pre[:, b], pred_r_bar)
+    vn = jnp.sum(v_pt * n_bar, axis=-1)  # [B]
+    vn_pre = jnp.sum(v_pt_pre * n_bar, axis=-1)
 
     p_total = jnp.zeros_like(v_pt)
     if contact.restitution > 0.0:
         # dv_n = -vn + max(-e * vn_pre, 0); threshold suppresses jitter bounce
-        e = jnp.where(jnp.abs(vn_pre) > 2.0 * 9.81 * dt, contact.restitution, 0.0)
-        dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * active
-        p_total = p_total + (dv_n / jnp.maximum(w_n, 1e-12))[..., None] * n
+        e = jnp.where(jnp.abs(vn_pre) > 2.0 * GRAVITY_MAG * dt, contact.restitution, 0.0)
+        dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * any_c
+        p_total = p_total + (dv_n / jnp.maximum(w_n, 1e-12))[..., None] * n_bar
     if contact.dynamic_friction > 0.0:
-        vt = v_pt - vn[..., None] * n
+        vt = v_pt - vn[..., None] * n_bar
         vt_norm = jnp.linalg.norm(vt, axis=-1)
         t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
-        w_t = _generalized_inv_mass(q_b[:, None, :], im, ii, r, t_dir)
+        w_t = _generalized_inv_mass(q_b, im, ii, r_bar, t_dir)
         p_stop = vt_norm / jnp.maximum(w_t, 1e-12)
-        p_fric = jnp.minimum(p_stop, contact.dynamic_friction * p_n_budget) * active
+        # Coulomb budget: mu * total normal impulse of the manifold
+        p_fric = jnp.minimum(p_stop, contact.dynamic_friction * lam_tot / dt) * any_c
         p_total = p_total - p_fric[..., None] * t_dir
 
-    # summing per-point impulses self-normalizes: each point's impulse is
-    # divided by its generalized inverse mass (same cancellation as the
-    # position solve), so simultaneous contacts don't over-correct
-    dv = p_total.sum(axis=1) * im * spec.free_pos[b]
-    dw = _inv_inertia_world(q_b, ii, jnp.cross(r, p_total).sum(axis=1)) * spec.free_rot[b]
+    dv = p_total * im * spec.free_pos[b]
+    dw = _inv_inertia_world(q_b, ii, jnp.cross(r_bar, p_total)) * spec.free_rot[b]
     return lin_vel.at[:, b].add(dv), ang_vel.at[:, b].add(dw)
 
 
-def _velocity_pass_particle_contact(vel, x, pred_x, v_pre, inv_mass, pc: ParticleSDFContact, dt):
-    """Restitution + dynamic friction for particles vs one SDF."""
+def _velocity_pass_body_pair_contact(
+    lin_vel, ang_vel, pos, quat, pred_pos, pred_quat, v_pre, w_pre, spec, contact: BodyPairContact, lam_n, dt
+):
+    """Restitution + dynamic Coulomb friction for a two-body contact
+    (rigid_pushing stick-vs-prism: PhysX applies material restitution and
+    dynamic friction to body-body pairs — scene_cfg.py material props).
+    Equal and opposite impulses on both bodies from the RELATIVE
+    contact-point velocity; same lambda-budget scheme as ContactSet."""
+    bi, bj = contact.body_points, contact.body_sdf
+    lp = contact.local_points
+    if lp.ndim == 2:
+        lp = jnp.broadcast_to(lp[None], (pos.shape[0],) + lp.shape)
+
+    q_i, p_i = quat[:, bi], pos[:, bi]
+    q_j, p_j = quat[:, bj], pos[:, bj]
+    r_i = quat_apply(q_i[:, None, :], lp)  # [B, P, 3]
+    world_pts = p_i[:, None, :] + r_i
+    local_j = quat_apply(quat_conjugate(q_j)[:, None, :], world_pts - p_j[:, None, :])
+    phi, n_local = contact.sdf(local_j)
+    n = quat_apply(q_j[:, None, :], n_local)
+    r_j = world_pts - p_j[:, None, :]
+
+    active = ((lam_n > 0.0) & (phi < 1e-3)).astype(pos.dtype)  # [B, P]
+
+    # aggregate manifold (see _velocity_pass_body_contact for the rationale)
+    k = active.sum(axis=1)
+    k_safe = jnp.maximum(k, 1.0)[:, None]
+    any_c = (k > 0.0).astype(pos.dtype)
+    r_i_bar = (active[..., None] * r_i).sum(axis=1) / k_safe
+    r_j_bar = (active[..., None] * r_j).sum(axis=1) / k_safe
+    n_sum = (active[..., None] * n).sum(axis=1)
+    n_bar = n_sum / jnp.maximum(jnp.linalg.norm(n_sum, axis=-1, keepdims=True), 1e-9)
+    lam_tot = (active * lam_n).sum(axis=1)
+
+    im_i, ii_i = spec.inv_mass[bi], spec.inv_inertia[bi]
+    im_j, ii_j = spec.inv_mass[bj], spec.inv_inertia[bj]
+    w_n = _generalized_inv_mass(q_i, im_i, ii_i, r_i_bar, n_bar) + _generalized_inv_mass(
+        q_j, im_j, ii_j, r_j_bar, n_bar
+    )
+
+    # relative velocity of the manifold (post-solve)
+    v_pt = (
+        lin_vel[:, bi]
+        + jnp.cross(ang_vel[:, bi], r_i_bar)
+        - lin_vel[:, bj]
+        - jnp.cross(ang_vel[:, bj], r_j_bar)
+    )
+    # pre-solve relative velocity at the predicted pose (approach velocity)
+    pred_r_i = quat_apply(pred_quat[:, bi][:, None, :], lp)
+    pred_pts = pred_pos[:, bi][:, None, :] + pred_r_i
+    pred_r_j = pred_pts - pred_pos[:, bj][:, None, :]
+    pred_r_i_bar = (active[..., None] * pred_r_i).sum(axis=1) / k_safe
+    pred_r_j_bar = (active[..., None] * pred_r_j).sum(axis=1) / k_safe
+    v_pt_pre = (
+        v_pre[:, bi]
+        + jnp.cross(w_pre[:, bi], pred_r_i_bar)
+        - v_pre[:, bj]
+        - jnp.cross(w_pre[:, bj], pred_r_j_bar)
+    )
+    vn = jnp.sum(v_pt * n_bar, axis=-1)
+    vn_pre = jnp.sum(v_pt_pre * n_bar, axis=-1)
+
+    p_total = jnp.zeros_like(v_pt)
+    if contact.restitution > 0.0:
+        e = jnp.where(jnp.abs(vn_pre) > 2.0 * GRAVITY_MAG * dt, contact.restitution, 0.0)
+        dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * any_c
+        p_total = p_total + (dv_n / jnp.maximum(w_n, 1e-12))[..., None] * n_bar
+    if contact.dynamic_friction > 0.0:
+        vt = v_pt - vn[..., None] * n_bar
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
+        w_t = _generalized_inv_mass(q_i, im_i, ii_i, r_i_bar, t_dir) + _generalized_inv_mass(
+            q_j, im_j, ii_j, r_j_bar, t_dir
+        )
+        p_stop = vt_norm / jnp.maximum(w_t, 1e-12)
+        p_fric = jnp.minimum(p_stop, contact.dynamic_friction * lam_tot / dt) * any_c
+        p_total = p_total - p_fric[..., None] * t_dir
+
+    dv_i = p_total * im_i * spec.free_pos[bi]
+    dw_i = _inv_inertia_world(q_i, ii_i, jnp.cross(r_i_bar, p_total)) * spec.free_rot[bi]
+    dv_j = -p_total * im_j * spec.free_pos[bj]
+    dw_j = _inv_inertia_world(q_j, ii_j, jnp.cross(r_j_bar, -p_total)) * spec.free_rot[bj]
+    lin_vel = lin_vel.at[:, bi].add(dv_i).at[:, bj].add(dv_j)
+    ang_vel = ang_vel.at[:, bi].add(dw_i).at[:, bj].add(dw_j)
+    return lin_vel, ang_vel
+
+
+def _velocity_pass_particle_contact(vel, x, v_pre, inv_mass, pc: ParticleSDFContact, lam_p, dt):
+    """Restitution + dynamic friction for particles vs one SDF.
+
+    lam_p [B, NP]: normal position corrections accumulated over the position
+    iterations — the per-particle contact load, same budget scheme as the
+    body path (a particle resting on the surface without predicted
+    penetration still carries load from the solver pushing it out)."""
     phi, n = pc.sdf(x)
-    active = (phi < 1e-4).astype(x.dtype)
-    phi_pre, _ = pc.sdf(pred_x)
-    pen_pre = jnp.maximum(-phi_pre, 0.0)
+    active = ((phi < 1e-4) & (lam_p > 0.0)).astype(x.dtype)
 
     w = inv_mass if inv_mass.ndim == 2 else inv_mass[None]
     vn = jnp.sum(vel * n, axis=-1)
@@ -532,15 +638,15 @@ def _velocity_pass_particle_contact(vel, x, pred_x, v_pre, inv_mass, pc: Particl
 
     dv = jnp.zeros_like(vel)
     if pc.restitution > 0.0:
-        e = jnp.where(jnp.abs(vn_pre) > 2.0 * 9.81 * dt, pc.restitution, 0.0)
+        e = jnp.where(jnp.abs(vn_pre) > 2.0 * GRAVITY_MAG * dt, pc.restitution, 0.0)
         dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * active * (w > 0)
         dv = dv + dv_n[..., None] * n
     if pc.dynamic_friction > 0.0:
         vt = vel - vn[..., None] * n
         vt_norm = jnp.linalg.norm(vt, axis=-1)
         t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
-        # velocity budget: friction impulse <= mu * normal impulse (pen/dt)
-        dv_max = pc.dynamic_friction * pen_pre / dt
+        # velocity budget: friction dv <= mu * (accumulated normal correction)/dt
+        dv_max = pc.dynamic_friction * lam_p / dt
         dv_t = jnp.minimum(vt_norm, dv_max) * active * (w > 0)
         dv = dv - dv_t[..., None] * t_dir
     return vel + dv
@@ -594,22 +700,38 @@ def xpbd_substep(
             pv = pv * jnp.exp(-particle_spec.lin_damping * dt)
         prev_x = parts.pos
         x = parts.pos + dt * pv
-        pred_x, pv_pre = x, pv
+        pv_pre = pv
     else:
-        x = prev_x = pred_x = pv_pre = None
+        x = prev_x = pv_pre = None
 
     # accumulated per-point normal lambdas for contacts that run a velocity
-    # pass (restitution / dynamic friction); empty tuple otherwise
+    # pass (restitution / dynamic friction); empty tuples otherwise
     needs_vpass = tuple(c.restitution > 0.0 or c.dynamic_friction > 0.0 for c in contacts)
     lam_init = tuple(
         jnp.zeros(pos.shape[:1] + (c.local_points.shape[-2],), pos.dtype)
         for c, nv in zip(contacts, needs_vpass)
         if nv
     )
+    needs_vpass_pair = tuple(
+        c.restitution > 0.0 or c.dynamic_friction > 0.0 for c in pair_contacts
+    )
+    pair_lam_init = tuple(
+        jnp.zeros(pos.shape[:1] + (c.local_points.shape[-2],), pos.dtype)
+        for c, nv in zip(pair_contacts, needs_vpass_pair)
+        if nv
+    )
+    needs_vpass_part = tuple(
+        c.restitution > 0.0 or c.dynamic_friction > 0.0 for c in particle_contacts
+    )
+    part_lam_init = tuple(
+        jnp.zeros(x.shape[:2], x.dtype)
+        for nv in needs_vpass_part
+        if nv and x is not None
+    )
 
     # 2. position solve -----------------------------------------------------
     def iteration(carry, _):
-        pos, quat, x, lams = carry
+        pos, quat, x, lams, pair_lams, part_lams = carry
         if joints is not None:
             pos, quat = _solve_fixed_joints(pos, quat, body_spec, joints)
         new_lams = []
@@ -620,10 +742,14 @@ def xpbd_substep(
                 new_lams.append(lams[vi] + lam_n)
                 vi += 1
         lams = tuple(new_lams)
-        for contact in pair_contacts:
-            if contact.restitution > 0.0 or contact.dynamic_friction > 0.0:
-                raise NotImplementedError("velocity pass for BodyPairContact is not implemented yet")
-            pos, quat = _solve_body_pair_contact(pos, quat, body_spec, contact)
+        new_pair_lams = []
+        vi = 0
+        for contact, nv in zip(pair_contacts, needs_vpass_pair):
+            pos, quat, lam_n = _solve_body_pair_contact(pos, quat, body_spec, contact)
+            if nv:
+                new_pair_lams.append(pair_lams[vi] + lam_n)
+                vi += 1
+        pair_lams = tuple(new_pair_lams)
         if x is not None:
             for group in distance_groups:
                 x = _solve_distance_group(x, particle_spec.inv_mass, group, dt)
@@ -631,7 +757,9 @@ def xpbd_substep(
                 x = _solve_self_contacts(x, particle_spec.inv_mass, sc)
             if attachments is not None:
                 x, pos, quat = _solve_attachments(x, particle_spec.inv_mass, pos, quat, body_spec, attachments)
-            for pc in particle_contacts:
+            new_part_lams = []
+            vi = 0
+            for pc, nv in zip(particle_contacts, needs_vpass_part):
                 phi, n = pc.sdf(x)
                 pen = jnp.minimum(phi, 0.0)
                 dx_n = -pen[..., None] * n
@@ -642,10 +770,14 @@ def xpbd_substep(
                 scale = jnp.minimum(1.0, pc.friction * (-pen[..., None]) / jnp.maximum(t_norm, 1e-9))
                 active = (phi < 0.0).astype(x.dtype)[..., None]
                 x = x + active * (dx_n - scale * disp_t)
-        return (pos, quat, x, lams), None
+                if nv:
+                    new_part_lams.append(part_lams[vi] + (-pen))
+                    vi += 1
+            part_lams = tuple(new_part_lams)
+        return (pos, quat, x, lams, pair_lams, part_lams), None
 
-    (pos, quat, x, lam_acc), _ = jax.lax.scan(
-        iteration, (pos, quat, x, lam_init), None, length=iterations
+    (pos, quat, x, lam_acc, pair_lam_acc, part_lam_acc), _ = jax.lax.scan(
+        iteration, (pos, quat, x, lam_init, pair_lam_init, part_lam_init), None, length=iterations
     )
 
     # 3. velocity recovery ---------------------------------------------------
@@ -664,15 +796,25 @@ def xpbd_substep(
                 body_spec, contact, lam_acc[vi], dt,
             )
             vi += 1
+    vi = 0
+    for contact, nv in zip(pair_contacts, needs_vpass_pair):
+        if nv:
+            new_v, new_w = _velocity_pass_body_pair_contact(
+                new_v, new_w, pos, quat, pred_pos, pred_quat, v_pre, w_pre,
+                body_spec, contact, pair_lam_acc[vi], dt,
+            )
+            vi += 1
 
     new_bodies = RigidBodyState(pos=pos, quat=quat, lin_vel=new_v, ang_vel=new_w)
     if x is not None:
         new_pv = (x - prev_x) / dt
-        for pc in particle_contacts:
-            if pc.restitution > 0.0 or pc.dynamic_friction > 0.0:
+        vi = 0
+        for pc, nv in zip(particle_contacts, needs_vpass_part):
+            if nv:
                 new_pv = _velocity_pass_particle_contact(
-                    new_pv, x, pred_x, pv_pre, particle_spec.inv_mass, pc, dt
+                    new_pv, x, pv_pre, particle_spec.inv_mass, pc, part_lam_acc[vi], dt
                 )
+                vi += 1
         new_parts = ParticleState(pos=x, vel=new_pv)
     else:
         new_parts = state.particles

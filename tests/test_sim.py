@@ -546,7 +546,7 @@ def test_cloth_self_collision_env_steps():
     from geometry_rl_tpu.envs import make_env
 
     env = make_env("cloth_hanging", num_envs=2, warmup_steps=2, self_collision=True)
-    assert env.solver_mode is False  # falls back to the XLA solver
+    assert env.solver_mode is False  # "auto" resolves to the XLA solver on CPU
     state = env.reset(jax.random.PRNGKey(3))
     for _ in range(5):
         state, ts = env.step(state, jnp.zeros((2, env.cfg.action_dim)))
@@ -583,3 +583,148 @@ def test_two_joints_on_one_body_stay_stable():
         s, _ = env.step(s, action)
     assert bool(jnp.isfinite(s.scene.bodies.pos).all()), "two-joint assembly diverged"
     assert float(jnp.abs(s.scene.bodies.pos).max()) < 10.0
+
+
+def test_multi_point_restitution_not_amplified():
+    """A box dropped FLAT onto 4 coplanar corners must rebound at ~e*v_in,
+    not K*e*v_in: velocity-target impulses are averaged over the active
+    contact count (each point alone would fully cancel the shared body
+    velocity, so summing 4 of them injects energy)."""
+    state, spec = single_body_scene(pos=(0.0, 0.0, 0.3))
+    corners = jnp.asarray(
+        [[-0.05, -0.05, -0.05], [0.05, -0.05, -0.05], [-0.05, 0.05, -0.05], [0.05, 0.05, -0.05]]
+    )
+    e = 0.8
+    contact = ContactSet(
+        body=0, local_points=corners, sdf=ground_sdf, friction=0.0, restitution=e
+    )
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(contact,), iterations=4))
+    v_in = v_out = 0.0
+    for _ in range(60):
+        prev_vz = float(state.bodies.lin_vel[0, 0, 2])
+        state = step(state)
+        vz = float(state.bodies.lin_vel[0, 0, 2])
+        if prev_vz < -0.5 and vz > 0.0:
+            v_in, v_out = -prev_vz, vz
+            break
+    assert v_in > 0.0, "box never bounced"
+    # must NOT exceed e*v_in (4 corners would give ~4x without averaging)
+    assert v_out <= e * v_in * 1.05, f"energy gained: v_in={v_in:.3f} v_out={v_out:.3f}"
+    assert v_out > 0.5 * e * v_in, f"over-damped: v_in={v_in:.3f} v_out={v_out:.3f}"
+
+
+def _two_body_stack_scene():
+    """Falling unit box (body 0) above a static table body (body 1)."""
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0.0, 0.6], [0.0, 0.0, 0.0]]), (B, 1, 1)),
+            quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 2, 1)),
+            lin_vel=jnp.zeros((B, 2, 3)),
+            ang_vel=jnp.zeros((B, 2, 3)),
+        )
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.asarray([1.0, 0.0]),
+        inv_inertia=jnp.stack(
+            [1.0 / box_inertia(1.0, (0.1, 0.1, 0.1)), jnp.zeros(3)]
+        ),
+        gravity_scale=jnp.asarray([1.0, 0.0]),
+        lin_damping=jnp.zeros(2),
+        ang_damping=jnp.zeros(2),
+        free_pos=jnp.ones((2, 3)),
+        free_rot=jnp.ones((2, 3)),
+    )
+    return state, spec
+
+
+def _table_top_sdf(local_pts):
+    """Static body 1 local SDF: halfspace with surface at local z = +0.1."""
+    phi = local_pts[..., 2] - 0.1
+    n = jnp.zeros_like(local_pts).at[..., 2].set(1.0)
+    return phi, n
+
+
+def test_body_pair_restitution_bounces():
+    """Body-pair contact with restitution: a box dropped onto a static body
+    rebounds at ~e*v_in (VERDICT #6 — PhysX applies material restitution to
+    body-body pairs)."""
+    from geometry_rl_tpu.sim import BodyPairContact
+
+    state, spec = _two_body_stack_scene()
+    corners = jnp.asarray(
+        [[-0.05, -0.05, -0.05], [0.05, -0.05, -0.05], [-0.05, 0.05, -0.05], [0.05, 0.05, -0.05]]
+    )
+    e = 0.8
+    pair = BodyPairContact(
+        body_points=0, body_sdf=1, local_points=corners, sdf=_table_top_sdf,
+        friction=0.0, restitution=e,
+    )
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, pair_contacts=(pair,), iterations=4))
+    v_in = v_out = 0.0
+    for _ in range(80):
+        prev_vz = float(state.bodies.lin_vel[0, 0, 2])
+        state = step(state)
+        vz = float(state.bodies.lin_vel[0, 0, 2])
+        if prev_vz < -0.5 and vz > 0.0:
+            v_in, v_out = -prev_vz, vz
+            break
+    assert v_in > 0.0, "box never bounced off the static body"
+    assert v_out <= e * v_in * 1.05, f"energy gained: v_in={v_in:.3f} v_out={v_out:.3f}"
+    assert v_out > 0.5 * e * v_in, f"over-damped: v_in={v_in:.3f} v_out={v_out:.3f}"
+    # static body must not move
+    np.testing.assert_allclose(np.asarray(state.bodies.pos[:, 1]), [[0.0, 0.0, 0.0]] * B, atol=1e-6)
+
+
+def test_body_pair_dynamic_friction_decelerates():
+    """Body-pair dynamic friction: a box sliding on a static body slows at
+    ~mu*g and eventually stops."""
+    from geometry_rl_tpu.sim import BodyPairContact
+
+    state, spec = _two_body_stack_scene()
+    state = SceneState(
+        bodies=state.bodies._replace(
+            pos=state.bodies.pos.at[:, 0, 2].set(0.15),
+            lin_vel=state.bodies.lin_vel.at[:, 0, 0].set(2.0),
+        )
+    )
+    corners = jnp.asarray(
+        [[-0.05, -0.05, -0.05], [0.05, -0.05, -0.05], [-0.05, 0.05, -0.05], [0.05, 0.05, -0.05]]
+    )
+    mu = 0.4
+    pair = BodyPairContact(
+        body_points=0, body_sdf=1, local_points=corners, sdf=_table_top_sdf,
+        friction=0.0, dynamic_friction=mu,
+    )
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, pair_contacts=(pair,), iterations=4))
+    t, vx = 0.0, 2.0
+    for _ in range(200):
+        state = step(state)
+        t += DT
+        vx = float(state.bodies.lin_vel[0, 0, 0])
+        if vx < 0.05:
+            break
+    # analytic stop time: v0/(mu*g) = 2.0/(0.4*9.81) = 0.51 s
+    assert 0.3 < t < 0.8, f"stopped at t={t:.2f}s vx={vx:.3f}"
+
+
+def test_body_pair_zero_is_noop():
+    """BodyPairContact with restitution=0, dynamic_friction=0 traces the same
+    program as before the velocity pass existed."""
+    from geometry_rl_tpu.sim import BodyPairContact
+
+    state, spec = _two_body_stack_scene()
+    corners = jnp.asarray(
+        [[-0.05, -0.05, -0.05], [0.05, -0.05, -0.05], [-0.05, 0.05, -0.05], [0.05, 0.05, -0.05]]
+    )
+    p0 = BodyPairContact(body_points=0, body_sdf=1, local_points=corners, sdf=_table_top_sdf)
+    p1 = BodyPairContact(
+        body_points=0, body_sdf=1, local_points=corners, sdf=_table_top_sdf,
+        restitution=0.0, dynamic_friction=0.0,
+    )
+    s0, s1 = state, state
+    step0 = jax.jit(lambda s: xpbd_substep(s, spec, DT, pair_contacts=(p0,), iterations=4))
+    step1 = jax.jit(lambda s: xpbd_substep(s, spec, DT, pair_contacts=(p1,), iterations=4))
+    for _ in range(100):
+        s0, s1 = step0(s0), step1(s1)
+    np.testing.assert_array_equal(np.asarray(s0.bodies.pos), np.asarray(s1.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(s0.bodies.lin_vel), np.asarray(s1.bodies.lin_vel))
