@@ -5,6 +5,7 @@ from .deepsets import DeepSets  # noqa: F401
 from .gcn import GCN  # noqa: F401
 from .hepi import HEPi  # noqa: F401
 from .meshgraphnet import MeshGraphNet  # noqa: F401
+from .mlp_policy import MLPCritic, MLPGaussianPolicy  # noqa: F401
 from .policy import DiagGaussianPolicy  # noqa: F401
 from .ponita_gcn import PonitaGCN  # noqa: F401
 from .transformer import TransformerVanilla  # noqa: F401

@@ -13,18 +13,31 @@ from ..envs import make_env
 from ..envs.cloth import ClothEnv
 from ..envs.rope import RopeEnv
 from ..graphs.cloth import ClothGraphBuilder
+from ..graphs.flat import FlatObsBuilder
 from ..graphs.rigid import RigidGraphBuilder
 from ..graphs.rope import RopeGraphBuilder
-from ..models import DeepSets, DiagGaussianPolicy, GraphValueNet, get_model
+from ..models import (
+    DeepSets,
+    DiagGaussianPolicy,
+    GraphValueNet,
+    MLPCritic,
+    MLPGaussianPolicy,
+    get_model,
+)
 from ..rl.projections import get_projection_layer
 from .ppo import TrainConfig, Trainer
 
+# the flat (non-graph) agent family — examples/torchrl/builders/utils_algo.py
+FLAT_MODELS = ("mlp",)
 
-def make_graph_builder(env, dist_as_pos: bool, **builder_kw):
+
+def make_graph_builder(env, dist_as_pos: bool, model: str = "", **builder_kw):
     """Pick the task family's data layer (pyg_agent/data group equivalent).
     `dist_as_pos=True` marks the policy builder; the cloth critic additionally
     keeps the particle nodes (full_graph_obs, cloth hydra config value block).
     builder_kw forwards training_noise / training_noise_std etc."""
+    if model.lower() in FLAT_MODELS:
+        return FlatObsBuilder.from_env(env, dist_as_pos=dist_as_pos, **builder_kw)
     if isinstance(env, RopeEnv):
         return RopeGraphBuilder.from_env(env, dist_as_pos=dist_as_pos, **builder_kw)
     if isinstance(env, ClothEnv):
@@ -43,6 +56,15 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
     Pass dtype=jnp.bfloat16 in model_kw for TPU-native mixed precision (params
     stay f32; distribution outputs are cast back to f32 inside the models)."""
     cfg = env.cfg
+    if model_name.lower() in FLAT_MODELS:
+        # flat MLP Gaussian policy over the concatenated normalized obs
+        # (utils_algo.py _make_trpl_probabilistic_actor)
+        model_kw.pop("dtype", None)  # flat family is tiny; keep f32
+        return MLPGaussianPolicy(
+            action_dim=cfg.action_dim,
+            hidden_dims=(latent_dim * 4, latent_dim * 4),
+            **model_kw,
+        )
     equivariant = model_name.lower() in EQUIVARIANT_MODELS
     action_per_gripper = cfg.action_dim // cfg.num_grippers
     if equivariant:
@@ -106,7 +128,10 @@ def build_agent(
     """AgentBuilder.build equivalent: one call -> ready Trainer."""
     env = make_env(task, num_envs=num_envs, **(env_kwargs or {}))
     policy = build_policy(model, env, latent_dim=latent_dim, num_ori=num_ori, **model_kw)
-    critic = build_critic(latent_dim=latent_dim, dtype=model_kw.get("dtype"))
+    if model.lower() in FLAT_MODELS:
+        critic = MLPCritic(hidden_dims=(latent_dim * 4, latent_dim * 4))
+    else:
+        critic = build_critic(latent_dim=latent_dim, dtype=model_kw.get("dtype"))
     cfg = train_cfg or TrainConfig(algo=algo)
     # entropy schedules count network updates (the projection's `step` input)
     n_mb = max(1, cfg.steps_per_batch * num_envs // cfg.mini_batch_size)
@@ -132,9 +157,11 @@ def build_agent(
         projection=projection,
         fused_collection=fused_collection,
         policy_builder=make_graph_builder(
-            env, dist_as_pos=True, training_noise=training_noise, training_noise_std=training_noise_std
+            env, dist_as_pos=True, model=model,
+            training_noise=training_noise, training_noise_std=training_noise_std,
         ),
         critic_builder=make_graph_builder(
-            env, dist_as_pos=False, training_noise=training_noise, training_noise_std=training_noise_std
+            env, dist_as_pos=False, model=model,
+            training_noise=training_noise, training_noise_std=training_noise_std,
         ),
     )

@@ -88,7 +88,7 @@ def test_ppo_algo_variant():
     assert np.isfinite(float(metrics["loss_objective"]))
 
 
-@pytest.mark.parametrize("task,model", [("rigid_sliding", "hepi"), ("rigid_insertion_two_agents", "hepi"), ("rope_shaping", "hepi"), ("rigid_insertion", "empn"), ("rigid_insertion", "gcn"), ("rigid_insertion", "meshgraphnet")])
+@pytest.mark.parametrize("task,model", [("rigid_sliding", "hepi"), ("rigid_insertion_two_agents", "hepi"), ("rope_shaping", "hepi"), ("rigid_insertion", "empn"), ("rigid_insertion", "gcn"), ("rigid_insertion", "meshgraphnet"), ("rigid_pushing", "mlp"), ("cloth_hanging", "mlp")])
 def test_all_tasks_and_models_train(task, model):
     """Every registered task x a spread of models completes a TRPL iteration."""
     kwargs = {"episode_length": 4}
