@@ -62,6 +62,11 @@ DEFAULTS: Dict[str, Any] = {
             "normalize_advantage": True,
             "clip_grad_norm": False,
             "max_grad_norm": 1.0,
+            # PAPI post-update backtracking (proj_type=papi + non-contextual std)
+            "papi_steps": False,
+            "papi_history": 8,
+            "papi_iters": 20,
+            "papi_lr_decay": 0.9,
         },
         "projection": {
             "proj_type": "kl",
@@ -172,6 +177,10 @@ def trainer_from_config(cfg: Dict):
         entropy_bonus=obj["entropy_bonus"],
         max_grad_norm=obj["max_grad_norm"],
         clip_grad_norm=obj["clip_grad_norm"],
+        papi_steps=obj.get("papi_steps", False),
+        papi_history=obj.get("papi_history", 8),
+        papi_iters=obj.get("papi_iters", 20),
+        papi_lr_decay=obj.get("papi_lr_decay", 0.9),
     )
     proj = cfg["algorithm"]["projection"]
     import jax.numpy as jnp
@@ -195,6 +204,8 @@ def trainer_from_config(cfg: Dict):
         entropy_eq=proj.get("entropy_eq", False),
         entropy_first=proj.get("entropy_first", False),
         train_cfg=train_cfg,
+        contextual_std=cfg["algorithm"]["policy"].get("contextual_std", True),
+        share_action_dim=cfg["algorithm"]["policy"].get("share_action_dim", True),
         env_kwargs=cfg["env"].get("kwargs") or {},
         training_noise=cfg["algorithm"].get("training_noise", False),
         training_noise_std=cfg["algorithm"].get("training_noise_std", 1e-2),

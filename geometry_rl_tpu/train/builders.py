@@ -56,6 +56,8 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
     Pass dtype=jnp.bfloat16 in model_kw for TPU-native mixed precision (params
     stay f32; distribution outputs are cast back to f32 inside the models)."""
     cfg = env.cfg
+    contextual_std = model_kw.pop("contextual_std", True)
+    share_action_dim = model_kw.pop("share_action_dim", True)
     if model_name.lower() in FLAT_MODELS:
         # flat MLP Gaussian policy over the concatenated normalized obs
         # (utils_algo.py _make_trpl_probabilistic_actor)
@@ -63,6 +65,7 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
         return MLPGaussianPolicy(
             action_dim=cfg.action_dim,
             hidden_dims=(latent_dim * 4, latent_dim * 4),
+            contextual_std=contextual_std,
             **model_kw,
         )
     equivariant = model_name.lower() in EQUIVARIANT_MODELS
@@ -86,8 +89,8 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
         backbone=backbone,
         action_dim=cfg.action_dim,
         num_actuators=cfg.num_grippers,
-        share_action_dim=True,
-        contextual_std=True,
+        share_action_dim=share_action_dim,
+        contextual_std=contextual_std,
         post_fc=post_fc,
     )
 

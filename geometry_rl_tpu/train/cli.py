@@ -72,10 +72,15 @@ def main(argv=None):
     best_reward = -float("inf")
     frames_per_batch = trainer.cfg.steps_per_batch * trainer.env.cfg.num_envs
 
+    papi_state = trainer.papi_init(state) if trainer.cfg.papi_steps else None
+
     start = time.time()
     for i in range(start_iter, total_iterations):
         t0 = time.time()
-        state, metrics = trainer.train_iteration(state)
+        if papi_state is not None:
+            state, papi_state, metrics = trainer.train_iteration_papi(state, papi_state)
+        else:
+            state, metrics = trainer.train_iteration(state)
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["train/iteration_time"] = time.time() - t0
         metrics["train/frames"] = (i + 1) * frames_per_batch

@@ -54,6 +54,13 @@ class TrainConfig:
     entropy_bonus: bool = True
     max_grad_norm: float = 1.0
     clip_grad_norm: bool = False
+    # PAPI post-update steps (papi_projection.py:151-245); requires
+    # proj_type="papi" and a non-contextual-std policy with a Dense mean head
+    papi_steps: bool = False
+    papi_history: int = 8
+    papi_iters: int = 20
+    papi_lr_decay: float = 0.9  # multiplicative LR anneal per backtracking event
+    # (the reference steps a torch lr_schedule instead — documented deviation)
 
 
 class TrainState(NamedTuple):
@@ -309,7 +316,9 @@ class Trainer:
             )
         return actor_loss + critic_loss, metrics
 
-    def _update(self, state: TrainState, batch: Batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def _update(
+        self, state: TrainState, batch: Batch, lr_scale: Optional[jnp.ndarray] = None
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         cfg = self.cfg
         env = self.env
         B = env.cfg.num_envs
@@ -357,6 +366,11 @@ class Trainer:
                 )
                 a_up, actor_opt = self.actor_tx.update(g_actor, actor_opt, actor_params)
                 c_up, critic_opt = self.critic_tx.update(g_critic, critic_opt, critic_params)
+                if lr_scale is not None:
+                    # PAPI LR annealing (lr_schedule.step() equivalent) applied
+                    # as a multiplicative update scale for actor and critic
+                    a_up = jax.tree_util.tree_map(lambda u: u * lr_scale, a_up)
+                    c_up = jax.tree_util.tree_map(lambda u: u * lr_scale, c_up)
                 actor_params = optax.apply_updates(actor_params, a_up)
                 critic_params = optax.apply_updates(critic_params, c_up)
                 return (actor_params, critic_params, actor_opt, critic_opt, num_updates + 1), metrics
@@ -401,6 +415,59 @@ class Trainer:
         state, metrics = self._update(state, batch)
         metrics.update(collect_stats)
         return state, metrics
+
+    # ------------------------------------------------------------------ PAPI
+
+    def papi_init(self, state: TrainState):
+        """Seed the PAPI cross-iteration carry (cfg.papi_steps workflow)."""
+        from ..rl.projections.papi import papi_init_state
+
+        return papi_init_state(state.actor_params, history=self.cfg.papi_history)
+
+    @partial(jax.jit, static_argnums=0)
+    def train_iteration_papi(self, state: TrainState, papi_state):
+        """collect + update + `_papi_steps` post-update backtracking
+        (papi_projection.py:151-245): one jitted program per iteration.
+        Use with proj_type='papi' and a non-contextual-std policy."""
+        from ..rl.projections.papi import PAPIState, papi_steps
+
+        state, batch, collect_stats = self._collect(state)
+        state, metrics = self._update(state, batch, lr_scale=papi_state.lr_scale)
+
+        T, B = self.cfg.steps_per_batch, self.env.cfg.num_envs
+
+        def flat(x):
+            return x.reshape((T * B,) + x.shape[2:])
+
+        tobs = jax.tree_util.tree_map(flat, batch.tobs)
+        env_ids = jnp.tile(jnp.arange(B, dtype=jnp.int32), T)
+        q = G.DiagGaussian(flat(batch.mean), flat(batch.std))
+
+        def apply_fn(params):
+            return self._policy_dist(params, tobs, env_ids)
+
+        new_params, papi_state, anneal, n_backtracks = papi_steps(
+            apply_fn,
+            state.actor_params,
+            papi_state,
+            q,
+            mean_bound=self.projection.mean_bound,
+            cov_bound=self.projection.cov_bound,
+            initial_entropy=state.initial_entropy,
+            init_std=getattr(self.policy, "init_std", 1.0),
+            minimal_std=getattr(self.policy, "minimal_std", 1e-5),
+            n_iters=self.cfg.papi_iters,
+        )
+        papi_state = PAPIState(
+            history=papi_state.history,
+            hist_len=papi_state.hist_len,
+            lr_scale=papi_state.lr_scale * jnp.where(anneal, self.cfg.papi_lr_decay, 1.0),
+        )
+        state = state._replace(actor_params=new_params)
+        metrics.update(collect_stats)
+        metrics["papi/n_backtracks"] = n_backtracks.astype(jnp.float32)
+        metrics["papi/lr_scale"] = papi_state.lr_scale
+        return state, papi_state, metrics
 
     # ------------------------------------------------------------------ eval
 

@@ -300,3 +300,118 @@ def test_factory_papi_and_w2_non_com():
 
     assert isinstance(get_projection_layer("papi"), PAPIProjection)
     assert isinstance(get_projection_layer("w2_non_com"), WassersteinProjection)
+
+
+# ---------------------------------------------------------------------------
+# PAPI `_papi_steps` backtracking (papi_projection.py:151-245)
+# ---------------------------------------------------------------------------
+
+
+def _toy_mlp_policy(key, obs_dim=4, action_dim=2):
+    from geometry_rl_tpu.models import MLPGaussianPolicy
+
+    policy = MLPGaussianPolicy(action_dim=action_dim, hidden_dims=(16,), contextual_std=False)
+    obs = jax.random.normal(key, (32, obs_dim))
+    params = policy.init(jax.random.PRNGKey(0), None, obs)
+    return policy, params, obs
+
+
+def _perturb_mean_head(params, scale):
+    """Shift the mean head so the expected KL to the original exceeds bounds."""
+    import copy
+
+    p = copy.deepcopy(params)
+    p["params"]["mean"]["kernel"] = p["params"]["mean"]["kernel"] + scale
+    p["params"]["mean"]["bias"] = p["params"]["mean"]["bias"] + scale
+    return p
+
+
+def test_papi_steps_backtracks_to_feasible_candidate():
+    from geometry_rl_tpu.rl.projections.papi import papi_init_state, papi_steps
+
+    policy, params0, obs = _toy_mlp_policy(jax.random.PRNGKey(1))
+    apply_fn = lambda p: policy.apply(p, None, obs)  # noqa: E731
+    q = apply_fn(params0)
+    mean_bound, cov_bound = 0.05, 0.005
+
+    # history holds the feasible old params; current violates the budget
+    papi = papi_init_state(params0, history=4)
+    papi = papi._replace(
+        history=jax.tree_util.tree_map(lambda h, p: h.at[0].set(p), papi.history, params0),
+        hist_len=jnp.ones((), jnp.int32),
+    )
+    current = _perturb_mean_head(params0, 0.7)
+    m, c = G.kl_parts(apply_fn(current), q)
+    assert float(m.mean() + c.mean()) > mean_bound + cov_bound  # setup sanity
+
+    new_params, new_state, anneal, idx = papi_steps(
+        apply_fn, current, papi, q, mean_bound, cov_bound,
+        initial_entropy=jnp.asarray(float(G.entropy(q).mean())),
+    )
+    assert int(idx) == 1  # backtracked to the history entry, not current
+    assert not bool(anneal)  # shallow backtrack: no LR annealing
+    m2, c2 = G.kl_parts(apply_fn(new_params), q)
+    # PAPI iterations land the policy (approximately) inside the joint budget
+    assert float(m2.mean() + c2.mean()) <= (mean_bound + cov_bound) * 1.5
+    # and strictly closer than the unprojected update
+    assert float(m2.mean() + c2.mean()) < float(m.mean() + c.mean())
+    # feasible round pushes the current params into the ring buffer
+    assert int(new_state.hist_len) == 2
+    pushed = jax.tree_util.tree_map(lambda h: h[0], new_state.history)
+    np.testing.assert_allclose(
+        np.asarray(pushed["params"]["mean"]["kernel"]),
+        np.asarray(current["params"]["mean"]["kernel"]),
+    )
+
+
+def test_papi_steps_feasible_current_is_noop():
+    from geometry_rl_tpu.rl.projections.papi import papi_init_state, papi_steps
+
+    policy, params0, obs = _toy_mlp_policy(jax.random.PRNGKey(2))
+    apply_fn = lambda p: policy.apply(p, None, obs)  # noqa: E731
+    q = apply_fn(params0)
+    papi = papi_init_state(params0, history=4)
+
+    new_params, new_state, anneal, idx = papi_steps(
+        apply_fn, params0, papi, q, 0.05, 0.005,
+        initial_entropy=jnp.asarray(float(G.entropy(q).mean())),
+    )
+    assert int(idx) == 0 and not bool(anneal)
+    np.testing.assert_allclose(
+        np.asarray(new_params["params"]["mean"]["kernel"]),
+        np.asarray(params0["params"]["mean"]["kernel"]),
+        atol=1e-5,
+    )
+
+
+def test_papi_steps_no_feasible_keeps_params_and_anneals():
+    from geometry_rl_tpu.rl.projections.papi import papi_init_state, papi_steps
+
+    policy, params0, obs = _toy_mlp_policy(jax.random.PRNGKey(3))
+    apply_fn = lambda p: policy.apply(p, None, obs)  # noqa: E731
+    q = apply_fn(params0)
+    # empty history + violating current -> nothing feasible
+    papi = papi_init_state(_perturb_mean_head(params0, 5.0), history=4)
+    current = _perturb_mean_head(params0, 0.7)
+
+    new_params, new_state, anneal, _ = papi_steps(
+        apply_fn, current, papi, q, 0.05, 0.005,
+        initial_entropy=jnp.asarray(float(G.entropy(q).mean())),
+    )
+    assert bool(anneal)
+    assert int(new_state.hist_len) == 0  # poor policy is not kept in history
+    np.testing.assert_allclose(
+        np.asarray(new_params["params"]["mean"]["kernel"]),
+        np.asarray(current["params"]["mean"]["kernel"]),
+    )
+
+
+def test_papi_steps_requires_non_contextual_std():
+    from geometry_rl_tpu.models import MLPGaussianPolicy
+    from geometry_rl_tpu.rl.projections.papi import find_papi_paths
+
+    policy = MLPGaussianPolicy(action_dim=2, hidden_dims=(8,), contextual_std=True)
+    obs = jnp.zeros((4, 3))
+    params = policy.init(jax.random.PRNGKey(0), None, obs)
+    with pytest.raises(ValueError, match="non-contextual"):
+        find_papi_paths(params)

@@ -201,3 +201,30 @@ def test_entropy_schedule_end_to_end():
     d = G.DiagGaussian(jnp.zeros((3, t.env.cfg.action_dim)), jnp.ones((3, t.env.cfg.action_dim)))
     proj = entropy_equality_projection(d, bound)
     assert np.allclose(np.asarray(G.entropy(proj)), float(bound), rtol=1e-4)
+
+
+def test_papi_steps_trainer_integration():
+    """cfg.papi_steps workflow: backtracking runs inside the jitted iteration
+    (papi_projection.py:151-245) and keeps metrics finite."""
+    from geometry_rl_tpu.train.builders import build_agent
+    from geometry_rl_tpu.train.ppo import TrainConfig
+
+    cfg = TrainConfig(
+        algo="trpl", steps_per_batch=8, ppo_epochs=2, mini_batch_size=16,
+        papi_steps=True, papi_history=4, papi_iters=5,
+    )
+    trainer = build_agent(
+        task="rigid_pushing", model="mlp", num_envs=4, algo="trpl",
+        latent_dim=8, proj_type="papi", mean_bound=0.05, cov_bound=0.005,
+        train_cfg=cfg, env_kwargs={"episode_length": 4, "warmup_steps": 0},
+        contextual_std=False,
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    papi_state = trainer.papi_init(state)
+    state, papi_state, metrics = trainer.train_iteration_papi(state, papi_state)
+    assert np.isfinite(float(metrics["loss_objective"]))
+    assert np.isfinite(float(metrics["papi/n_backtracks"]))
+    assert 0.0 < float(metrics["papi/lr_scale"]) <= 1.0
+    # second iteration reuses the carried history
+    state, papi_state, metrics = trainer.train_iteration_papi(state, papi_state)
+    assert np.isfinite(float(metrics["train/reward"]))
