@@ -1,39 +1,74 @@
-"""Headline benchmark: rigid_insertion collection throughput on TPU.
+"""Driver benchmark: all BASELINE.md targets in one JSON line.
 
-Measures env-steps/sec of the full collection loop — batched XPBD physics
-(decimation 4), observation extraction, normalization, graph build, and the
-HEPi policy forward — i.e. what the reference's `sampling_time` covers
-(train.py:232). Baseline target: >= 50,000 env-steps/sec on v5e-8
-(BASELINE.md). On multi-device hosts the env axis is sharded over all chips
-(the framework's DP layout); on one chip it runs single-device.
+Headline metric: rigid_insertion HEPi collection throughput (env-steps/sec)
+— what the reference's `sampling_time` covers (train.py:232), target >= 50k
+on v5e-8. The `extra` field carries the other BASELINE.md targets:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- cloth_hanging collection env-steps/sec (target >= 50k)
+- rigid_insertion FULL train_iteration (collect + GAE + 5 PPO epochs) —
+  wall-time per iteration and end-to-end frames/sec at reference scale
+  (the reference's sampling_time + training_time)
+- rough MFU of the train_iteration, from XLA's compiled-flops estimate
+  divided by (wall-time x peak chip flops). The workload is sim/bandwidth
+  bound (small latents, scatter-heavy), so this is expected to be low;
+  reported for honesty, not vanity.
+
+Set GEOMRL_BENCH_TINY=1 for a fast CPU smoke run of the harness itself.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
 BASELINE = 50_000.0  # env-steps/sec north star (BASELINE.md)
-NUM_ENVS = 1024
-SCAN_STEPS = 50
+TINY = os.environ.get("GEOMRL_BENCH_TINY") == "1"
+
+# peak bf16 FLOP/s per chip by device kind (public spec sheets)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
-def main():
+def _shard(trainer, env_state, obs, norm, params, num_envs):
+    """Shard the env axis over every available device (no-op on one chip)."""
+    n_dev = len(jax.devices())
+    if n_dev > 1 and num_envs % n_dev == 0:
+        from geometry_rl_tpu.parallel import make_mesh, replicated, shard_env_pytree
+
+        mesh = make_mesh()
+        env_state = shard_env_pytree(env_state, mesh, num_envs)
+        obs = shard_env_pytree(obs, mesh, num_envs)
+        norm = jax.device_put(norm, replicated(mesh))
+        params = jax.device_put(params, replicated(mesh))
+    return env_state, obs, norm, params
+
+
+def bench_collection(task, num_envs, scan_steps, n_runs=3):
+    """env-steps/sec of the jitted collection loop (physics + obs pipeline +
+    graph build + HEPi forward + sampling)."""
     from geometry_rl_tpu.rl import gaussian as G
     from geometry_rl_tpu.rl.obs_pipeline import obs_norm_init, obs_norm_step
     from geometry_rl_tpu.train import TrainConfig
     from geometry_rl_tpu.train.builders import build_agent
 
     trainer = build_agent(
-        task="rigid_insertion",
+        task=task,
         model="hepi",
-        num_envs=NUM_ENVS,
-        latent_dim=64,
-        num_ori=16,
-        train_cfg=TrainConfig(steps_per_batch=SCAN_STEPS, mini_batch_size=1000),
+        num_envs=num_envs,
+        latent_dim=16 if TINY else 64,
+        num_ori=4 if TINY else 16,
+        train_cfg=TrainConfig(steps_per_batch=scan_steps, mini_batch_size=1000),
         env_kwargs={"warmup_steps": 0},
         dtype=jnp.bfloat16,
     )
@@ -58,43 +93,96 @@ def main():
             return (env_state, ts.obs, norm, key), ts.reward
 
         (env_state, obs, norm, key), rewards = jax.lax.scan(
-            step, (env_state, obs, norm, key), None, length=SCAN_STEPS
+            step, (env_state, obs, norm, key), None, length=scan_steps
         )
         return env_state, obs, norm, key, rewards.sum()
 
-    # shard the env axis over every available device (no-op on one chip)
-    n_dev = len(jax.devices())
-    if n_dev > 1 and NUM_ENVS % n_dev == 0:
-        from geometry_rl_tpu.parallel import make_mesh, replicated, shard_env_pytree
+    env_state, obs, norm, params = _shard(trainer, env_state, obs, norm, params, num_envs)
 
-        mesh = make_mesh()
-        env_state = shard_env_pytree(env_state, mesh, NUM_ENVS)
-        obs = shard_env_pytree(obs, mesh, NUM_ENVS)
-        norm = jax.device_put(norm, replicated(mesh))
-        params = jax.device_put(params, replicated(mesh))
-
-    # warmup/compile
-    out = collect(env_state, obs, norm, key)
+    out = collect(env_state, obs, norm, key)  # warmup/compile
     jax.block_until_ready(out)
     env_state, obs, norm, key = out[:4]
 
-    # timed runs
-    n_runs = 3
     t0 = time.perf_counter()
     for _ in range(n_runs):
         out = collect(env_state, obs, norm, key)
         env_state, obs, norm, key = out[:4]
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    return n_runs * scan_steps * num_envs / dt
 
-    steps_per_sec = n_runs * SCAN_STEPS * NUM_ENVS / dt
+
+def bench_train_iteration(task="rigid_insertion", num_envs=1024, steps=100, n_runs=2):
+    """Wall-time + frames/sec + rough MFU of the FULL jitted train_iteration
+    (collect -> GAE -> 5 PPO epochs) at reference scale."""
+    from geometry_rl_tpu.train import TrainConfig
+    from geometry_rl_tpu.train.builders import build_agent
+
+    trainer = build_agent(
+        task=task,
+        model="hepi",
+        num_envs=num_envs,
+        latent_dim=16 if TINY else 64,
+        num_ori=4 if TINY else 16,
+        train_cfg=TrainConfig(steps_per_batch=steps, ppo_epochs=5, mini_batch_size=1000),
+        env_kwargs={"warmup_steps": 0},
+        dtype=jnp.bfloat16,
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    step_fn = jax.jit(lambda s: trainer.train_iteration(s))
+    # XLA's own flops estimate for the whole compiled program
+    flops = None
+    try:
+        cost = step_fn.lower(state).compile().cost_analysis()
+        if cost:
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    state, _ = step_fn(state)  # warmup/compile
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        state, metrics = step_fn(state)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n_runs
+
+    frames = steps * num_envs
+    result = {"iteration_s": round(dt, 3), "frames_per_sec": round(frames / dt, 1)}
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)), None)
+    if flops and peak:
+        result["mfu"] = round(flops / dt / (peak * len(jax.devices())), 5)
+        result["xla_flops_per_iter"] = flops
+    return result
+
+
+def main():
+    if TINY:
+        rigid = bench_collection("rigid_insertion", 8, 4, n_runs=1)
+        cloth = bench_collection("cloth_hanging", 8, 4, n_runs=1)
+        update = bench_train_iteration(num_envs=8, steps=4, n_runs=1)
+    else:
+        rigid = bench_collection("rigid_insertion", 1024, 50)
+        cloth = bench_collection("cloth_hanging", 256, 50)
+        update = bench_train_iteration(num_envs=1024, steps=100)
+
     print(
         json.dumps(
             {
                 "metric": "rigid_insertion_hepi_collection_env_steps_per_sec",
-                "value": round(steps_per_sec, 1),
+                "value": round(rigid, 1),
                 "unit": "env-steps/sec",
-                "vs_baseline": round(steps_per_sec / BASELINE, 3),
+                "vs_baseline": round(rigid / BASELINE, 3),
+                "extra": {
+                    "cloth_hanging_collection_env_steps_per_sec": round(cloth, 1),
+                    "cloth_vs_baseline": round(cloth / BASELINE, 3),
+                    "rigid_insertion_train_iteration": update,
+                    "n_devices": len(jax.devices()),
+                    "device_kind": jax.devices()[0].device_kind,
+                },
             }
         )
     )
