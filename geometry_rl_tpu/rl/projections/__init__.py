@@ -9,4 +9,12 @@ from .base import (  # noqa: F401
     get_projection_layer,
     mean_projection,
 )
+from .fullcov import (  # noqa: F401
+    FullCovKLProjection,
+    FullCovW2NonCommutingProjection,
+    kl_full_cov_projection,
+    kl_full_joint_projection,
+    w2_non_commutative_parts,
+    w2_non_commutative_projection,
+)
 from .kl import kl_diag_cov_projection  # noqa: F401
