@@ -27,7 +27,10 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 CASES = {
     "rigid_insertion": dict(num_envs=2, warmup_steps=0),
     "rigid_pushing": dict(num_envs=2, warmup_steps=0),
+    "rigid_sliding": dict(num_envs=2, warmup_steps=0),
+    "rigid_insertion_two_agents": dict(num_envs=2, warmup_steps=0),
     "rope_closing": dict(num_envs=2, num_links=20, rope_length=2.5, warmup_steps=0),
+    "rope_shaping": dict(num_envs=2, num_links=20, rope_length=2.5, warmup_steps=0),
     "cloth_hanging": dict(num_envs=2, warmup_steps=0),
 }
 N_STEPS = 20
@@ -61,6 +64,34 @@ def test_golden_trajectory(task):
     traj = rollout_positions(task, CASES[task])
     assert traj.shape == golden.shape, (traj.shape, golden.shape)
     np.testing.assert_allclose(traj, golden, atol=5e-3, rtol=1e-3)
+
+
+def test_pallas_solver_cross_gate_128_envs():
+    """Solver cross-gate at flagship-like batch (VERDICT r1 #8): the tiled
+    Pallas cloth solver must reproduce the XLA solver's trajectory at >=128
+    envs — the 2-env parity tests in test_envs_cloth.py miss tiling bugs
+    that only appear when the grid spans many envs."""
+    B, steps = 128, 6
+    env_x = make_env("cloth_hanging", num_envs=B, warmup_steps=0, use_pallas_solver=False)
+    env_p = make_env("cloth_hanging", num_envs=B, warmup_steps=0, use_pallas_solver="tiled")
+    state = env_x.reset(jax.random.PRNGKey(7))
+    A = env_x.cfg.action_dim
+    for t in range(steps):
+        action = jnp.sin(jnp.arange(B * A, dtype=jnp.float32).reshape(B, A) * 0.7 + t * 0.3)
+        pre = env_x._apply_action(state.scene, action)
+        sx = env_x._physics(pre, state.hanger_pos)
+        # interpret=True lets the Pallas kernel run on CPU in tests; both
+        # solvers advance the SAME state each step (f32 accumulation-order
+        # noise amplifies ~3x/step through cloth contact if left free-running,
+        # so a trajectory-endpoint compare would gate chaos, not the solver)
+        sp = env_p._physics_pallas(pre, state.hanger_pos, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(sp.particles.pos), np.asarray(sx.particles.pos), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp.bodies.pos), np.asarray(sx.bodies.pos), atol=2e-4
+        )
+        state = state._replace(scene=sx)
 
 
 if __name__ == "__main__":
