@@ -119,6 +119,13 @@ class Trainer:
         # lane-sliced per-orientation basis work (scripts/profile_fused*.py).
         # "auto" therefore resolves to OFF; kept as an explicit opt-in and a
         # correctness-gated base for a future bf16/lane-major redesign.
+        # RATIO-CONSISTENCY CAVEAT (opt-in only): with fused collection on,
+        # the behavior log-probs stored at collection time come from the
+        # Pallas kernel (f32) while the update epochs recompute the state
+        # with the Flax/XLA path, so PPO ratios at epoch 0 deviate from 1 by
+        # the kernels' ~3e-4 parity tolerance (larger with bf16 activations)
+        # and the TRPL old-dist is equally offset. Acceptable for inference
+        # throughput experiments; keep it off for bit-exact ratio semantics.
         from ..models.hepi_fused import fused_hepi_supported
 
         if fused_collection == "auto":
