@@ -26,13 +26,15 @@ from ..rl.gaussian import DiagGaussian
 from ..utils.math import fibonacci_lattice
 from .common import gather_nodes
 from .policy import inverse_softplus
-from .ponita import polynomial_features, scalar_to_sphere, vec_to_sphere
+from .ponita import compute_invariants, polynomial_features, scalar_to_sphere, vec_to_sphere
 
 
 def _mlp2(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """PolynomialBasis tail: Dense -> gelu -> Dense -> gelu (raw params)."""
-    x = jax.nn.gelu(x @ params["Dense_0"]["kernel"] + params["Dense_0"]["bias"])
-    return jax.nn.gelu(x @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"])
+    """PolynomialBasis tail: Dense -> gelu -> Dense -> gelu (raw params),
+    computed in the input's dtype (bf16 in the prologue, like Flax dtype=)."""
+    dt = x.dtype
+    x = jax.nn.gelu(x @ params["Dense_0"]["kernel"].astype(dt) + params["Dense_0"]["bias"].astype(dt))
+    return jax.nn.gelu(x @ params["Dense_1"]["kernel"].astype(dt) + params["Dense_1"]["bias"].astype(dt))
 
 
 def hepi_apply_fused(
@@ -47,7 +49,8 @@ def hepi_apply_fused(
     edge_levels=("internal", "agent", "task"),
     message_codes=((1, 0), (0, 1), (0, 1)),
     output_dim: int = 1,
-    tile_envs: int = 4,
+    tile_envs: int = 16,
+    compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
     """HEPi forward with fused convs. Returns (out [B,G,V,3], latent [B,G,C])."""
@@ -66,11 +69,19 @@ def hepi_apply_fused(
     ori_inv = jnp.sum(ori_grid[None, :, :] * ori_grid[:, None, :], axis=-1, keepdims=True)
     fiber_basis = _mlp2(hepi_params["fiber_basis_fn"], polynomial_features(ori_inv, degree))
 
-    # per-edge-type raw displacement (invariants recomputed in-kernel)
-    rel: Dict = {}
+    # XLA PROLOGUE (dense, MXU-friendly — pallas_hepi.py v2 docstring):
+    # pairwise invariants + polynomial basis MLP per edge type, computed once
+    # and shared by both message rounds like the Flax path (hepi.py:145-157)
+    bf16 = compute_dtype
+    kernel_basis: Dict = {}
     for ek, es in graph.edges.items():
         s, _, d = ek
-        rel[ek] = gather_nodes(graph.nodes[s].pos, es.src) - gather_nodes(graph.nodes[d].pos, es.dst)
+        pos_src = gather_nodes(graph.nodes[s].pos, es.src)
+        pos_dst = gather_nodes(graph.nodes[d].pos, es.dst)
+        spatial_inv, _ = compute_invariants(ori_grid, pos_src, pos_dst)
+        kernel_basis[ek] = _mlp2(
+            hepi_params["basis_fn"], polynomial_features(spatial_inv, degree).astype(bf16)
+        )  # [B, E, O, A]
 
     for k in range(num_messages):
         out_dst: Dict[str, list] = {}
@@ -79,17 +90,21 @@ def hepi_apply_fused(
             li = edge_levels.index(level) if level in edge_levels else -1
             if li < 0 or message_codes[li][k] != 1:
                 continue
-            w = weights_from_flax(hepi_params, fiber_basis, f"processor_{k}_{level}")
+            conv_scope = f"processor_{k}_{level}"
+            w = weights_from_flax(hepi_params, fiber_basis, conv_scope)
+            # spatial kernel = Dense(basis), still in the XLA prologue
+            wk = hepi_params[conv_scope]["kernel"]["kernel"].astype(bf16)
+            kern = kernel_basis[ek] @ wk  # [B, E, O, C]
             updated = hepi_conv_fused(
-                latent[s].astype(jnp.float32),
-                latent[d].astype(jnp.float32),
-                rel[ek],
+                latent[s],
+                latent[d],
+                kern,
                 es.src.astype(jnp.int32),
                 es.dst.astype(jnp.int32),
                 es.mask.astype(jnp.float32) if es.mask is not None else jnp.ones(es.src.shape, jnp.float32),
-                ori_grid,
                 w,
                 tile_envs=tile_envs,
+                compute_dtype=compute_dtype,
                 interpret=interpret,
             )
             out_dst.setdefault(d, []).append(updated)
@@ -107,7 +122,7 @@ def hepi_apply_fused(
     return out, latent_mean
 
 
-def hepi_policy_dist_fused(policy, params, graph, feats, *, tile_envs: int = 4, interpret: bool = False) -> DiagGaussian:
+def hepi_policy_dist_fused(policy, params, graph, feats, *, tile_envs: int = 16, compute_dtype=jnp.bfloat16, interpret: bool = False) -> DiagGaussian:
     """DiagGaussianPolicy(HEPi backbone, post_fc=False, contextual_std,
     share_action_dim) forward with the fused backbone. `policy` is the Flax
     module (for config attributes), `params` its full param tree."""
@@ -125,6 +140,7 @@ def hepi_policy_dist_fused(policy, params, graph, feats, *, tile_envs: int = 4, 
         message_codes=tuple(tuple(c) for c in hepi.message_codes),
         output_dim=hepi.output_dim,
         tile_envs=tile_envs,
+        compute_dtype=compute_dtype,
         interpret=interpret,
     )
     B, G = hidden.shape[:2]

@@ -16,20 +16,10 @@ from geometry_rl_tpu.models.ponita import (
 )
 from geometry_rl_tpu.ops.pallas_hepi import (
     HEPiConvWeights,
-    _poly2_ref,
     hepi_conv_fused,
     weights_from_flax,
 )
 from geometry_rl_tpu.utils.math import fibonacci_lattice
-
-
-def test_poly2_matches_reference():
-    from geometry_rl_tpu.models.ponita import polynomial_features
-
-    x = jax.random.normal(jax.random.PRNGKey(0), (5, 2))
-    np.testing.assert_allclose(
-        np.asarray(_poly2_ref(x)), np.asarray(polynomial_features(x, 2)), rtol=1e-6
-    )
 
 
 def _setup(key, B=6, Ns=9, Nd=5, E=12, O=8, C=64, hidden=64):
@@ -68,6 +58,8 @@ def _xla_reference(ori, pos_src, pos_dst, src, dst, mask, x_src, x_dst, key, C, 
 
 @pytest.mark.parametrize("tile_envs", [2, 3])
 def test_fused_conv_matches_flax(tile_envs):
+    """f32 compute-dtype parity: the kernel must reproduce the Flax conv
+    tightly (bf16 production parity is gated separately below)."""
     key = jax.random.PRNGKey(7)
     C, hidden = 64, 64
     ori, pos_src, pos_dst, src, dst, mask, x_src, x_dst = _setup(key)
@@ -75,20 +67,52 @@ def test_fused_conv_matches_flax(tile_envs):
         ori, pos_src, pos_dst, src, dst, mask, x_src, x_dst, key, C, hidden
     )
 
-    params = {
-        "basis_fn": bparams["params"],
-        "conv": cparams["params"],
-    }
-    w = weights_from_flax(params, fiber_basis, "conv", basis_scope="basis_fn")
+    params = {"conv": cparams["params"]}
+    w = weights_from_flax(params, fiber_basis, "conv")
 
+    # XLA-prologue spatial kernel (what hepi_apply_fused computes)
     from geometry_rl_tpu.models.common import gather_nodes
+    from geometry_rl_tpu.models.ponita import PolynomialBasis
 
-    rel = gather_nodes(pos_src, src) - gather_nodes(pos_dst, dst)
+    ps = gather_nodes(pos_src, src)
+    pd = gather_nodes(pos_dst, dst)
+    spatial_inv, _ = compute_invariants(ori, ps, pd)
+    basis = PolynomialBasis(hidden, hidden, 2).apply(bparams, spatial_inv)
+    kern = basis @ cparams["params"]["kernel"]["kernel"]
+
     out = hepi_conv_fused(
-        x_src, x_dst, rel, src.astype(jnp.int32), dst.astype(jnp.int32), mask, ori, w,
-        tile_envs=tile_envs, interpret=True,
+        x_src, x_dst, kern, src.astype(jnp.int32), dst.astype(jnp.int32), mask, w,
+        tile_envs=tile_envs, compute_dtype=jnp.float32, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-4, rtol=2e-4)
+
+
+def test_fused_conv_bf16_close_to_flax():
+    """Production bf16 compute-dtype stays within bf16 resolution of f32."""
+    key = jax.random.PRNGKey(9)
+    C, hidden = 64, 64
+    ori, pos_src, pos_dst, src, dst, mask, x_src, x_dst = _setup(key)
+    out_ref, bparams, fparams, cparams, fiber_basis = _xla_reference(
+        ori, pos_src, pos_dst, src, dst, mask, x_src, x_dst, key, C, hidden
+    )
+    params = {"conv": cparams["params"]}
+    w = weights_from_flax(params, fiber_basis, "conv")
+
+    from geometry_rl_tpu.models.common import gather_nodes
+    from geometry_rl_tpu.models.ponita import PolynomialBasis
+
+    ps = gather_nodes(pos_src, src)
+    pd = gather_nodes(pos_dst, dst)
+    spatial_inv, _ = compute_invariants(ori, ps, pd)
+    basis = PolynomialBasis(hidden, hidden, 2).apply(bparams, spatial_inv)
+    kern = basis @ cparams["params"]["kernel"]["kernel"]
+
+    out = hepi_conv_fused(
+        x_src, x_dst, kern, src.astype(jnp.int32), dst.astype(jnp.int32), mask, w,
+        tile_envs=3, compute_dtype=jnp.bfloat16, interpret=True,
+    )
+    scale = float(jnp.abs(out_ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=0.03 * scale)
 
 
 def test_fused_policy_matches_flax_on_task_graph():
@@ -119,7 +143,9 @@ def test_fused_policy_matches_flax_on_task_graph():
 
     assert fused_hepi_supported(tr.policy)
     dist_ref = tr.policy.apply(params, graph, feats)
-    dist_fused = hepi_policy_dist_fused(tr.policy, params, graph, feats, tile_envs=2, interpret=True)
+    dist_fused = hepi_policy_dist_fused(
+        tr.policy, params, graph, feats, tile_envs=2, compute_dtype=jnp.float32, interpret=True
+    )
 
     np.testing.assert_allclose(np.asarray(dist_fused.mean), np.asarray(dist_ref.mean), atol=3e-4, rtol=3e-4)
     np.testing.assert_allclose(np.asarray(dist_fused.std), np.asarray(dist_ref.std), atol=3e-4, rtol=3e-4)
