@@ -34,7 +34,7 @@ def timeit(f, *args, n=20):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=1024)
-    ap.add_argument("--tile", type=int, default=4)
+    ap.add_argument("--tile", type=int, default=16)
     args = ap.parse_args()
 
     def make(fused):
