@@ -38,9 +38,6 @@ DEFAULTS: Dict[str, Any] = {
         "latent_dim": 64,
         "num_ori": 16,
         "dtype": "bfloat16",  # model activation dtype on TPU (f32 params)
-        # fused Pallas HEPi forward for collection/eval: "auto" (on TPU when
-        # the policy configuration supports it) | true | false
-        "fused_collection": "auto",
         "training_noise": False,  # pyg_data/utils.noise_like augmentation
         "training_noise_std": 1e-2,
         "policy": {
@@ -209,5 +206,4 @@ def trainer_from_config(cfg: Dict):
         env_kwargs=cfg["env"].get("kwargs") or {},
         training_noise=cfg["algorithm"].get("training_noise", False),
         training_noise_std=cfg["algorithm"].get("training_noise_std", 1e-2),
-        fused_collection=cfg["algorithm"].get("fused_collection", "auto"),
     )

@@ -125,7 +125,6 @@ def build_agent(
     temperature: float = 0.5,
     entropy_eq: bool = False,
     entropy_first: bool = False,
-    fused_collection: object = "auto",
     **model_kw,
 ) -> Trainer:
     """AgentBuilder.build equivalent: one call -> ready Trainer."""
@@ -158,7 +157,6 @@ def build_agent(
         critic,
         cfg,
         projection=projection,
-        fused_collection=fused_collection,
         policy_builder=make_graph_builder(
             env, dist_as_pos=True, model=model,
             training_noise=training_noise, training_noise_std=training_noise_std,

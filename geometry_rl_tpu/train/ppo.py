@@ -100,7 +100,6 @@ class Trainer:
         projection: Optional[BaseProjection] = None,
         policy_builder: Optional[RigidGraphBuilder] = None,
         critic_builder: Optional[RigidGraphBuilder] = None,
-        fused_collection: object = "auto",
     ):
         self.env = env
         self.policy = policy
@@ -110,27 +109,6 @@ class Trainer:
         self.policy_builder = policy_builder or RigidGraphBuilder.from_env(env, dist_as_pos=True)
         self.critic_builder = critic_builder or RigidGraphBuilder.from_env(env, dist_as_pos=False)
 
-        # fused Pallas HEPi forward for the no-grad (collection/eval) policy
-        # passes; the update path keeps the Flax/XLA implementation (autodiff).
-        # MEASURED (v5e, 1024 envs): the fused kernel is 2.2x SLOWER than the
-        # XLA path (16.0 vs 7.4 ms fwd) — after the one-hot MXU lowering,
-        # XLA's whole-batch einsums already sit near the bandwidth floor for
-        # these 64-channel graphs, while the kernel pays f32 operand DMA and
-        # lane-sliced per-orientation basis work (scripts/profile_fused*.py).
-        # "auto" therefore resolves to OFF; kept as an explicit opt-in and a
-        # correctness-gated base for a future bf16/lane-major redesign.
-        # RATIO-CONSISTENCY CAVEAT (opt-in only): with fused collection on,
-        # the behavior log-probs stored at collection time come from the
-        # Pallas kernel (f32) while the update epochs recompute the state
-        # with the Flax/XLA path, so PPO ratios at epoch 0 deviate from 1 by
-        # the kernels' ~3e-4 parity tolerance (larger with bf16 activations)
-        # and the TRPL old-dist is equally offset. Acceptable for inference
-        # throughput experiments; keep it off for bit-exact ratio semantics.
-        from ..models.hepi_fused import fused_hepi_supported
-
-        if fused_collection == "auto":
-            fused_collection = False
-        self.fused_collection = bool(fused_collection) and fused_hepi_supported(policy)
 
         B = env.cfg.num_envs
         n_samples = cfg.steps_per_batch * B
@@ -196,13 +174,7 @@ class Trainer:
             graph, feats = self.policy_builder.build(tobs, env_ids, noise_key=noise_key)
         else:
             graph, feats = self.policy_builder.build(tobs, env_ids)
-        if inference and self.fused_collection:
-            from ..models.hepi_fused import hepi_policy_dist_fused
-
-            # interpret off-TPU so CPU tests can exercise this path
-            return hepi_policy_dist_fused(
-                self.policy, params, graph, feats, interpret=jax.default_backend() != "tpu"
-            )
+        del inference  # collection and update share the XLA forward
         return self.policy.apply(params, graph, feats)
 
     def _value(self, params, tobs, env_ids=None, noise_key=None) -> jnp.ndarray:

@@ -23,3 +23,23 @@ if not os.environ.get("GRT_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_xla_cache_per_module(request):
+    """XLA CPU's JIT compiler segfaults nondeterministically when the whole
+    suite's compile cache accumulates (first seen round 1 at
+    test_rope_trainer_end_to_end, round 2 at test_rope_graph_builder — the
+    crash point moves as tests are added). Clearing the in-process jax
+    caches at every module boundary bounds the accumulated state while
+    keeping intra-module cache reuse."""
+    mod = request.module.__name__
+    if mod != _last_module[0]:
+        _last_module[0] = mod
+        jax.clear_caches()
+    yield

@@ -111,10 +111,6 @@ def test_rope_graph_builder():
 
 
 def test_rope_trainer_end_to_end():
-    # Mitigation for a deterministic-in-full-suite XLA CPU compile segfault
-    # (passes solo and in any small file combination; crashes only with the
-    # full suite's accumulated compile cache — PLAN.md queue item).
-    jax.clear_caches()
     trainer = build_agent(
         task="rope_closing",
         model="hepi",
