@@ -131,13 +131,45 @@ def bench_train_iteration(task="rigid_insertion", num_envs=1024, steps=100, n_ru
     state = trainer.init(jax.random.PRNGKey(0))
 
     step_fn = jax.jit(lambda s: trainer.train_iteration(s))
-    # XLA's own flops estimate for the whole compiled program
+    # True per-iteration flops. XLA cost_analysis() counts each lax.scan /
+    # while body ONCE, so lowering the whole train_iteration under-reports by
+    # the trip counts (~500x here). Instead lower the two loop bodies — one
+    # minibatch grad step and one collection program — and multiply by their
+    # trip counts (epochs x n_minibatches, and 1: collect is lowered whole,
+    # its T-step scan body again counted once, so scale by T).
     flops = None
     try:
-        cost = step_fn.lower(state).compile().cost_analysis()
-        if cost:
+        import jax.tree_util as jtu
+
+        def _flops_of(lowered):
+            cost = lowered.compile().cost_analysis()
+            if not cost:
+                return 0.0
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(cost.get("flops", 0.0)) or None
+            return float(cost.get("flops", 0.0))
+
+        _, batch, _ = jax.jit(trainer._collect)(state)
+        T, B = steps, num_envs
+        fl = lambda x: x.reshape((T * B,) + x.shape[2:])
+        mbs = trainer.mini_batch_size
+        mb = {
+            "tobs": jtu.tree_map(lambda x: fl(x)[:mbs], batch.tobs),
+            "action": fl(batch.action)[:mbs],
+            "log_prob": fl(batch.log_prob)[:mbs],
+            "mean": fl(batch.mean)[:mbs],
+            "std": fl(batch.std)[:mbs],
+            "value": fl(batch.value)[:mbs],
+            "advantage": fl(batch.value)[:mbs],
+            "value_target": fl(batch.value)[:mbs],
+            "env_ids": jnp.tile(jnp.arange(B, dtype=jnp.int32), T)[:mbs],
+        }
+        grad_fn = jax.jit(jax.grad(trainer._minibatch_loss, argnums=(0, 1), has_aux=True))
+        grad_flops = _flops_of(
+            grad_fn.lower(state.actor_params, state.critic_params, mb, state.num_updates, state.initial_entropy)
+        )
+        collect_flops = _flops_of(jax.jit(trainer._collect).lower(state)) * steps
+        n_updates = trainer.cfg.ppo_epochs * trainer.num_minibatches
+        flops = grad_flops * n_updates + collect_flops
     except Exception:
         pass
 

@@ -119,9 +119,17 @@ class FiberBundleConv(nn.Module):
 
         kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="kernel")(kernel_basis)
 
-        x_j = gather_nodes(x_src, src)  # [B,E,O,C]
-        messages = kernel * x_j * edge_mask[..., None, None].astype(self.dtype)
-        x_1 = scatter_sum(messages, dst, num_dst)  # [B,Nd,O,C]
+        # gather -> kernel multiply -> scatter, all in FLATTENED [B,E,O*C]
+        # space: the one-hot matmul lowering wants an f-minor layout, and with
+        # F = O*C = 1024 the elementwise multiply fills TPU lanes in that same
+        # layout. Doing the multiply on the 4D [B,E,O,C] view instead makes
+        # XLA pick a B-minor layout for it (C=64 half-fills lanes) and insert
+        # ~6 ms/grad-step of pure relayout copies (profiled on v5e, mb=1000).
+        B, E = src.shape
+        O, C = x_src.shape[-2], x_src.shape[-1]
+        x_j = gather_nodes(x_src.reshape(B, -1, O * C), src)  # [B,E,O*C]
+        messages = kernel.reshape(B, E, O * C) * x_j * edge_mask[..., None].astype(self.dtype)
+        x_1 = scatter_sum(messages, dst, num_dst).reshape(B, num_dst, O, C)
 
         # fiber (spherical) conv — dense contraction over orientations
         if self.depthwise:
@@ -168,9 +176,12 @@ class SeparableFiberBundleConvNext(nn.Module):
         kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="kernel")(kernel_basis)
         fiber_kernel = nn.Dense(self.channels, use_bias=False, dtype=self.dtype, name="fiber_kernel")(fiber_basis)
 
-        x_j = gather_nodes(x, src)
-        messages = kernel * x_j * edge_mask[..., None, None].astype(self.dtype)
-        x_1 = scatter_sum(messages, dst, num_nodes)
+        # flattened-message form — see FiberBundleConv above for the rationale
+        B, E = src.shape
+        O, C = x.shape[-2], x.shape[-1]
+        x_j = gather_nodes(x.reshape(B, -1, O * C), src)  # [B,E,O*C]
+        messages = kernel.reshape(B, E, O * C) * x_j * edge_mask[..., None].astype(self.dtype)
+        x_1 = scatter_sum(messages, dst, num_nodes).reshape(B, num_nodes, O, C)
         x_2 = jnp.einsum("bnoc,opc->bnpc", x_1, fiber_kernel, preferred_element_type=self.dtype) / fiber_kernel.shape[-2]
 
         self.sow("calibration", "std_in", x.std())

@@ -355,7 +355,8 @@ class Trainer:
                 return (actor_params, critic_params, actor_opt, critic_opt, num_updates + 1), metrics
 
             (actor_params, critic_params, actor_opt, critic_opt, num_updates), metrics = jax.lax.scan(
-                mb_fn, (actor_params, critic_params, actor_opt, critic_opt, num_updates), perm
+                mb_fn, (actor_params, critic_params, actor_opt, critic_opt, num_updates), perm,
+                unroll=2,
             )
             return (actor_params, critic_params, actor_opt, critic_opt, key, num_updates), metrics
 
