@@ -488,7 +488,12 @@ class ClothEnv:
     def _physics(self, scene: SceneState, hanger_pos) -> SceneState:
         cfg = self.cfg
         if self.solver_mode:
-            return self._physics_pallas(scene, hanger_pos)
+            # Pallas TPU kernels only run natively on TPU; an explicitly
+            # requested Pallas solver on CPU runs in interpret mode (slow,
+            # debugging only) instead of crashing at lowering.
+            return self._physics_pallas(
+                scene, hanger_pos, interpret=jax.default_backend() != "tpu"
+            )
         return step_physics(
             scene,
             self.body_spec,

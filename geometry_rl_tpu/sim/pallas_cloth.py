@@ -290,27 +290,51 @@ def _solve_tile(
     def self_pass(xs):
         # all-pairs self-collision with envs in lanes: the [PT, PT, BT]
         # pairwise tensor is too large for VMEM at BT=128, so sweep the i
-        # axis in sublane chunks of 8 (~1 MB transients per chunk) and
-        # concatenate the per-chunk corrections. Mirrors _solve_self_contacts.
+        # axis in sublane chunks of 8 (~1 MB transients per chunk). The sweep
+        # is a fori_loop, NOT a Python unroll: Mosaic stack-allocates the
+        # transients of every unrolled chunk cumulatively (29 chunks x ~2 MB
+        # blew the 16 MB scoped-vmem limit on real TPU); a loop body reuses
+        # one chunk's worth of stack. The i axis is zero-padded to a multiple
+        # of 8 so every dynamic slice is sublane-aligned; padded rows have
+        # pair_mask == 0 and are dropped on write-back. Mirrors
+        # _solve_self_contacts.
         CI = 8
-        chunks = ([], [], [])
-        for c0 in range(0, PT, CI):
-            c1 = min(c0 + CI, PT)
-            xi = tuple(x[c0:c1] for x in xs)  # [ci, BT]
-            d = tuple(a[:, None, :] - b[None, :, :] for a, b in zip(xi, xs))  # [ci, PT, BT]
+        pad = (-PT) % CI
+        PTp = PT + pad
+        xp = tuple(jnp.pad(x, ((0, pad), (0, 0))) for x in xs)  # [PTp, BT]
+        Wp = jnp.pad(W, ((0, pad), (0, 0)))
+        pmp = jnp.pad(self_pair_mask, ((0, pad), (0, 0)))  # [PTp, PT]
+        actp = jnp.pad(self_active, ((0, pad), (0, 0)))  # [PTp, BT]
+        row_of_chunk = jax.lax.broadcasted_iota(jnp.int32, (CI, PTp), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (CI, PTp), 1)
+
+        def chunk(c, acc):
+            # Mosaic has no dynamic_slice on values: gather chunk rows with a
+            # loop-index-dependent one-hot matmul, scatter-add with its
+            # transpose (chunks write disjoint rows).
+            sel = (col == c * CI + row_of_chunk).astype(W.dtype)  # [CI, PTp]
+            g = lambda a: jnp.dot(sel, a, preferred_element_type=jnp.float32)
+            xi = tuple(g(x) for x in xp)  # [CI, BT]
+            d = tuple(a[:, None, :] - b[None, :, :] for a, b in zip(xi, xs))  # [CI, PT, BT]
             dist = jnp.sqrt(sum((dk + 1e-12) ** 2 for dk in d))
-            wi = W[c0:c1][:, None, :]
+            wi = g(Wp)[:, None, :]
             pair_w = wi + W[None, :, :]
-            viol = jnp.maximum(spec.self_min_dist - dist, 0.0) * self_pair_mask[c0:c1][:, :, None]
-            viol = viol * self_active[c0:c1][:, None, :] * self_active[None, :, :]
+            viol = jnp.maximum(spec.self_min_dist - dist, 0.0) * g(pmp)[:, :, None]
+            viol = viol * g(actp)[:, None, :] * self_active[None, :, :]
             inv = 1.0 / jnp.maximum(dist, 1e-9)
-            corr = viol / jnp.maximum(pair_w, 1e-12) * wi  # [ci, PT, BT]
-            counts = jnp.maximum((viol > 0).astype(W.dtype).sum(axis=1), 1.0)  # [ci, BT]
+            corr = viol / jnp.maximum(pair_w, 1e-12) * wi  # [CI, PT, BT]
+            counts = jnp.maximum((viol > 0).astype(W.dtype).sum(axis=1), 1.0)  # [CI, BT]
             scaled = corr * inv
-            for k in range(3):
-                chunks[k].append((scaled * d[k]).sum(axis=1) / counts)
-        dx = tuple(jnp.concatenate(ch, axis=0) for ch in chunks)
-        return tuple(x + dk for x, dk in zip(xs, dx))
+            dxc = tuple((scaled * dk).sum(axis=1) / counts for dk in d)  # [CI, BT]
+            return tuple(
+                a + jnp.dot(sel.T, v, preferred_element_type=jnp.float32)
+                for a, v in zip(acc, dxc)
+            )
+
+        acc = jax.lax.fori_loop(
+            0, PTp // CI, chunk, tuple(jnp.zeros_like(x) for x in xp)
+        )
+        return tuple(x + a[:PT] for x, a in zip(xs, acc))
 
     def iteration(_, xs):
         for dg in dgroups:
