@@ -130,6 +130,17 @@ def bench_train_iteration(task="rigid_insertion", num_envs=1024, steps=100, n_ru
     )
     state = trainer.init(jax.random.PRNGKey(0))
 
+    # shard the env axis over all chips (as bench_collection does) so the
+    # measured iteration actually uses every device the MFU denominator
+    # divides by
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and num_envs % n_dev == 0:
+        from geometry_rl_tpu.parallel import make_mesh, shard_train_state
+
+        mesh = make_mesh(n_dev)
+        state = shard_train_state(state, mesh, num_envs)
+
     step_fn = jax.jit(lambda s: trainer.train_iteration(s))
     # True per-iteration flops. XLA cost_analysis() counts each lax.scan /
     # while body ONCE, so lowering the whole train_iteration under-reports by
@@ -173,20 +184,25 @@ def bench_train_iteration(task="rigid_insertion", num_envs=1024, steps=100, n_ru
     except Exception:
         pass
 
-    state, _ = step_fn(state)  # warmup/compile
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
-        state, metrics = step_fn(state)
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / n_runs
+    import contextlib
+
+    with mesh if mesh is not None else contextlib.nullcontext():
+        state, _ = step_fn(state)  # warmup/compile
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(n_runs):
+            state, metrics = step_fn(state)
+        jax.block_until_ready(state)
+        dt = (time.perf_counter() - t0) / n_runs
 
     frames = steps * num_envs
     result = {"iteration_s": round(dt, 3), "frames_per_sec": round(frames / dt, 1)}
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in PEAK_FLOPS.items() if kind.startswith(k)), None)
     if flops and peak:
-        result["mfu"] = round(flops / dt / (peak * len(jax.devices())), 5)
+        # denominator = the chips the iteration actually ran on
+        used = n_dev if mesh is not None else 1
+        result["mfu"] = round(flops / dt / (peak * used), 5)
         result["xla_flops_per_iter"] = flops
     return result
 

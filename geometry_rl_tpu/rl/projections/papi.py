@@ -185,7 +185,10 @@ def papi_project_with_intermed(
     b = 0.5 * jnp.sum((p.mean - intermed_mean) * (intermed_mean - q.mean) * prec, axis=-1).mean()
     c = maha_inter - jnp.maximum(eps_joint - cov_new, 0.0)
     eta_q = (-b + jnp.sqrt(jnp.maximum(b * b - a * c, 1e-16))) / jnp.maximum(a, 1e-16)
-    eta_mean = jnp.where(still, eta_q, 1.0)
+    # the quadratic can yield eta outside [0, 1] when the intermediate itself
+    # (nearly) exhausts the budget (c > 0, b > 0); interpolation toward the
+    # feasible head must never extrapolate, so clamp like PAPIProjection does
+    eta_mean = jnp.where(still, jnp.clip(eta_q, 0.0, 1.0), 1.0)
     # non-contextual: all rows of the projected std are identical — return row 0
     std_row = jnp.sqrt(new_var.reshape(-1, new_var.shape[-1])[0])
     return eta_mean, std_row
@@ -227,14 +230,33 @@ def papi_steps(
         m, c = kl_parts(d, q)
         return m.mean() + c.mean()
 
-    kls = jax.lax.map(expected_kl, candidates)
-    in_range = jnp.arange(hist_size + 1) <= papi.hist_len  # index 0 = current
-    feasible = (kls <= eps_joint) & in_range
-    found = feasible.any()
-    idx = jnp.argmax(feasible)  # first (most recent) feasible candidate
-    anneal_lr = (idx >= anneal_after) | ~found
+    # First feasible (most recent) candidate via an early-exiting while_loop:
+    # in the common case candidate 0 (the current policy) is already feasible
+    # and exactly ONE full-batch forward is paid, vs H+1 for a lax.map scan
+    # (the reference's Python loop also stops at the first feasible policy).
+    def kl_at(i):
+        cand = jax.tree_util.tree_map(lambda x: x[i], candidates)
+        return expected_kl(cand)
 
-    intermed = jax.tree_util.tree_map(lambda x: x[idx], candidates)
+    def scan_cond(carry):
+        i, feas = carry
+        return ~feas & (i <= papi.hist_len)
+
+    def scan_step(carry):
+        i, _ = carry
+        feas = kl_at(i) <= eps_joint
+        return jnp.where(feas, i, i + 1), feas
+
+    idx, found = jax.lax.while_loop(
+        scan_cond, scan_step, (jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    )
+    anneal_lr = (idx >= anneal_after) | ~found
+    # when nothing is feasible idx = hist_len + 1 (reported as n_backtracks so
+    # the not-found case is distinguishable from "current policy feasible");
+    # clamp only for the gather below — new_params falls back to `params`.
+    gather_idx = jnp.minimum(idx, hist_size)
+
+    intermed = jax.tree_util.tree_map(lambda x: x[gather_idx], candidates)
     intermed_mean = jax.lax.stop_gradient(apply_fn(intermed).mean)
     a_kernel = _tree_get(intermed, k_path)
     a_bias = _tree_get(intermed, b_path)

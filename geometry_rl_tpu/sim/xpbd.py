@@ -464,6 +464,68 @@ def _solve_attachments(x, inv_mass, pos, quat, spec, att: BodyAttachment):
 # ---------------------------------------------------------------------------
 
 
+def _conormal_manifolds(active, n, lam_n, vecs):
+    """Soft-cluster active contact points into co-normal manifolds.
+
+    Points p, q share a manifold iff both are active and n_p . n_q > 0.9.
+    Returns per-point group aggregates: cnt_safe [B, P] (group size, >= 1),
+    n_bar [B, P, 3] (normalized summed group normal), lam_tot [B, P] (summed
+    group normal lambda) and the group MEAN of every [B, P, 3] array in
+    `vecs`. Every member of a group computes identical aggregates, so a
+    group impulse divided by cnt and summed over members applies exactly
+    once — per-point independent impulses would over-correct the shared body
+    velocity (a box flat on 4 corners would rebound faster than e*v_in),
+    while a single global centroid/mean-normal manifold silently cancels
+    when normals oppose (a peg straddling both walls of a hole averages to
+    a ~zero normal). Co-normal grouping reduces to the single manifold for
+    one common-normal contact patch and keeps opposing patches separate.
+    """
+    pair = active[:, :, None] * active[:, None, :]  # [B, P, P]
+    A = (jnp.einsum("bpd,bqd->bpq", n, n) > 0.9) * pair
+    cnt_safe = jnp.maximum(A.sum(-1), 1.0)  # [B, P]
+    n_sum = jnp.einsum("bpq,bqd->bpd", A, n)
+    n_bar = n_sum / jnp.maximum(jnp.linalg.norm(n_sum, axis=-1, keepdims=True), 1e-9)
+    lam_tot = jnp.einsum("bpq,bq->bp", A, lam_n)
+    means = tuple(
+        jnp.einsum("bpq,bqd->bpd", A, v) / cnt_safe[..., None] for v in vecs
+    )
+    return cnt_safe, n_bar, lam_tot, means
+
+
+def _manifold_impulse(
+    v_pt, v_pt_pre, n_bar, w_of, lam_tot, gate, dt, restitution, dynamic_friction
+):
+    """Restitution + Coulomb-budget dynamic friction impulse for a manifold.
+
+    v_pt / v_pt_pre [B, P, 3]: (relative) contact-point velocity post-solve
+    and pre-solve (approach velocity); w_of(dir) -> generalized inverse mass
+    along dir [B, P]; lam_tot: summed normal lambda (the friction budget);
+    gate zeroes inactive points. restitution/dynamic_friction are static
+    Python floats — a zero branch is omitted from the compiled program.
+    """
+    vn = jnp.sum(v_pt * n_bar, axis=-1)
+    vn_pre = jnp.sum(v_pt_pre * n_bar, axis=-1)
+    p = jnp.zeros_like(v_pt)
+    if restitution > 0.0:
+        # dv_n = -vn + max(-e * vn_pre, 0); threshold suppresses jitter bounce.
+        # The -vn stopping term removes the separation velocity the position
+        # pushout injected, which is at most lam_tot/dt — cap it there so a
+        # contact that is GENUINELY separating (e.g. the far wall of a press
+        # fit while the near wall reflects) is not glued back to the surface.
+        e = jnp.where(jnp.abs(vn_pre) > 2.0 * GRAVITY_MAG * dt, restitution, 0.0)
+        dv_n = (-jnp.minimum(vn, lam_tot / dt) + jnp.maximum(-e * vn_pre, 0.0)) * gate
+        p = p + (dv_n / jnp.maximum(w_of(n_bar), 1e-12))[..., None] * n_bar
+    if dynamic_friction > 0.0:
+        vt = v_pt - vn[..., None] * n_bar
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
+        p_stop = vt_norm / jnp.maximum(w_of(t_dir), 1e-12)
+        # Coulomb budget: mu * total normal impulse of the manifold
+        p_fric = jnp.minimum(p_stop, dynamic_friction * lam_tot / dt) * gate
+        p = p - p_fric[..., None] * t_dir
+    return p
+
+
 def _velocity_pass_body_contact(
     lin_vel, ang_vel, pos, quat, pred_pos, pred_quat, v_pre, w_pre, spec, contact: ContactSet, lam_n, dt
 ):
@@ -488,50 +550,23 @@ def _velocity_pass_body_contact(
     # but separated must not receive stale-normal impulses)
     active = ((lam_n > 0.0) & (phi < 1e-3)).astype(pos.dtype)  # [B, P]
 
-    # Aggregate the active points into ONE contact manifold: centroid r_bar,
-    # mean normal, summed normal load. Per-point independent impulses
-    # over-correct the SHARED body velocity when several coplanar points act
-    # at once (a box flat on 4 corners would rebound faster than e*v_in);
-    # one impulse at the centroid is exact for a common-normal manifold —
-    # the flat/tilted surface contacts this pass exists for — and reduces to
-    # the per-point case for a single active point.
-    k = active.sum(axis=1)  # [B]
-    k_safe = jnp.maximum(k, 1.0)[:, None]
-    any_c = (k > 0.0).astype(pos.dtype)  # [B]
-    r_bar = (active[..., None] * r).sum(axis=1) / k_safe  # [B, 3]
-    n_sum = (active[..., None] * n).sum(axis=1)
-    n_bar = n_sum / jnp.maximum(jnp.linalg.norm(n_sum, axis=-1, keepdims=True), 1e-9)
-    lam_tot = (active * lam_n).sum(axis=1)  # [B]
+    pred_r = quat_apply(pred_quat[:, b][:, None, :], lp)
+    cnt_safe, n_bar, lam_tot, (r_bar, pred_r_bar) = _conormal_manifolds(
+        active, n, lam_n, (r, pred_r)
+    )
 
     im, ii = spec.inv_mass[b], spec.inv_inertia[b]
-    w_n = _generalized_inv_mass(q_b, im, ii, r_bar, n_bar)  # [B]
+    w_of = lambda d: _generalized_inv_mass(q_b[:, None, :], im, ii, r_bar, d)  # [B, P]
+    v_pt = lin_vel[:, b][:, None, :] + jnp.cross(ang_vel[:, b][:, None, :], r_bar)
+    v_pt_pre = v_pre[:, b][:, None, :] + jnp.cross(w_pre[:, b][:, None, :], pred_r_bar)
+    p = _manifold_impulse(
+        v_pt, v_pt_pre, n_bar, w_of, lam_tot, active, dt,
+        contact.restitution, contact.dynamic_friction,
+    ) / cnt_safe[..., None]  # [B, P, 3]
 
-    # manifold velocities (post-solve and pre-solve approach velocity)
-    pred_r = quat_apply(pred_quat[:, b][:, None, :], lp)
-    pred_r_bar = (active[..., None] * pred_r).sum(axis=1) / k_safe
-    v_pt = lin_vel[:, b] + jnp.cross(ang_vel[:, b], r_bar)  # [B, 3]
-    v_pt_pre = v_pre[:, b] + jnp.cross(w_pre[:, b], pred_r_bar)
-    vn = jnp.sum(v_pt * n_bar, axis=-1)  # [B]
-    vn_pre = jnp.sum(v_pt_pre * n_bar, axis=-1)
-
-    p_total = jnp.zeros_like(v_pt)
-    if contact.restitution > 0.0:
-        # dv_n = -vn + max(-e * vn_pre, 0); threshold suppresses jitter bounce
-        e = jnp.where(jnp.abs(vn_pre) > 2.0 * GRAVITY_MAG * dt, contact.restitution, 0.0)
-        dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * any_c
-        p_total = p_total + (dv_n / jnp.maximum(w_n, 1e-12))[..., None] * n_bar
-    if contact.dynamic_friction > 0.0:
-        vt = v_pt - vn[..., None] * n_bar
-        vt_norm = jnp.linalg.norm(vt, axis=-1)
-        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
-        w_t = _generalized_inv_mass(q_b, im, ii, r_bar, t_dir)
-        p_stop = vt_norm / jnp.maximum(w_t, 1e-12)
-        # Coulomb budget: mu * total normal impulse of the manifold
-        p_fric = jnp.minimum(p_stop, contact.dynamic_friction * lam_tot / dt) * any_c
-        p_total = p_total - p_fric[..., None] * t_dir
-
-    dv = p_total * im * spec.free_pos[b]
-    dw = _inv_inertia_world(q_b, ii, jnp.cross(r_bar, p_total)) * spec.free_rot[b]
+    dv = p.sum(axis=1) * im * spec.free_pos[b]
+    torque = jnp.cross(r_bar, p).sum(axis=1)
+    dw = _inv_inertia_world(q_b, ii, torque) * spec.free_rot[b]
     return lin_vel.at[:, b].add(dv), ang_vel.at[:, b].add(dw)
 
 
@@ -559,64 +594,42 @@ def _velocity_pass_body_pair_contact(
 
     active = ((lam_n > 0.0) & (phi < 1e-3)).astype(pos.dtype)  # [B, P]
 
-    # aggregate manifold (see _velocity_pass_body_contact for the rationale)
-    k = active.sum(axis=1)
-    k_safe = jnp.maximum(k, 1.0)[:, None]
-    any_c = (k > 0.0).astype(pos.dtype)
-    r_i_bar = (active[..., None] * r_i).sum(axis=1) / k_safe
-    r_j_bar = (active[..., None] * r_j).sum(axis=1) / k_safe
-    n_sum = (active[..., None] * n).sum(axis=1)
-    n_bar = n_sum / jnp.maximum(jnp.linalg.norm(n_sum, axis=-1, keepdims=True), 1e-9)
-    lam_tot = (active * lam_n).sum(axis=1)
-
-    im_i, ii_i = spec.inv_mass[bi], spec.inv_inertia[bi]
-    im_j, ii_j = spec.inv_mass[bj], spec.inv_inertia[bj]
-    w_n = _generalized_inv_mass(q_i, im_i, ii_i, r_i_bar, n_bar) + _generalized_inv_mass(
-        q_j, im_j, ii_j, r_j_bar, n_bar
-    )
-
-    # relative velocity of the manifold (post-solve)
-    v_pt = (
-        lin_vel[:, bi]
-        + jnp.cross(ang_vel[:, bi], r_i_bar)
-        - lin_vel[:, bj]
-        - jnp.cross(ang_vel[:, bj], r_j_bar)
-    )
-    # pre-solve relative velocity at the predicted pose (approach velocity)
     pred_r_i = quat_apply(pred_quat[:, bi][:, None, :], lp)
     pred_pts = pred_pos[:, bi][:, None, :] + pred_r_i
     pred_r_j = pred_pts - pred_pos[:, bj][:, None, :]
-    pred_r_i_bar = (active[..., None] * pred_r_i).sum(axis=1) / k_safe
-    pred_r_j_bar = (active[..., None] * pred_r_j).sum(axis=1) / k_safe
-    v_pt_pre = (
-        v_pre[:, bi]
-        + jnp.cross(w_pre[:, bi], pred_r_i_bar)
-        - v_pre[:, bj]
-        - jnp.cross(w_pre[:, bj], pred_r_j_bar)
+    cnt_safe, n_bar, lam_tot, (r_i_bar, r_j_bar, pred_r_i_bar, pred_r_j_bar) = (
+        _conormal_manifolds(active, n, lam_n, (r_i, r_j, pred_r_i, pred_r_j))
     )
-    vn = jnp.sum(v_pt * n_bar, axis=-1)
-    vn_pre = jnp.sum(v_pt_pre * n_bar, axis=-1)
 
-    p_total = jnp.zeros_like(v_pt)
-    if contact.restitution > 0.0:
-        e = jnp.where(jnp.abs(vn_pre) > 2.0 * GRAVITY_MAG * dt, contact.restitution, 0.0)
-        dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0)) * any_c
-        p_total = p_total + (dv_n / jnp.maximum(w_n, 1e-12))[..., None] * n_bar
-    if contact.dynamic_friction > 0.0:
-        vt = v_pt - vn[..., None] * n_bar
-        vt_norm = jnp.linalg.norm(vt, axis=-1)
-        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
-        w_t = _generalized_inv_mass(q_i, im_i, ii_i, r_i_bar, t_dir) + _generalized_inv_mass(
-            q_j, im_j, ii_j, r_j_bar, t_dir
-        )
-        p_stop = vt_norm / jnp.maximum(w_t, 1e-12)
-        p_fric = jnp.minimum(p_stop, contact.dynamic_friction * lam_tot / dt) * any_c
-        p_total = p_total - p_fric[..., None] * t_dir
+    im_i, ii_i = spec.inv_mass[bi], spec.inv_inertia[bi]
+    im_j, ii_j = spec.inv_mass[bj], spec.inv_inertia[bj]
+    w_of = lambda d: _generalized_inv_mass(
+        q_i[:, None, :], im_i, ii_i, r_i_bar, d
+    ) + _generalized_inv_mass(q_j[:, None, :], im_j, ii_j, r_j_bar, d)
 
-    dv_i = p_total * im_i * spec.free_pos[bi]
-    dw_i = _inv_inertia_world(q_i, ii_i, jnp.cross(r_i_bar, p_total)) * spec.free_rot[bi]
-    dv_j = -p_total * im_j * spec.free_pos[bj]
-    dw_j = _inv_inertia_world(q_j, ii_j, jnp.cross(r_j_bar, -p_total)) * spec.free_rot[bj]
+    # relative manifold velocity (post-solve) and pre-solve approach velocity
+    v_pt = (
+        lin_vel[:, bi][:, None, :]
+        + jnp.cross(ang_vel[:, bi][:, None, :], r_i_bar)
+        - lin_vel[:, bj][:, None, :]
+        - jnp.cross(ang_vel[:, bj][:, None, :], r_j_bar)
+    )
+    v_pt_pre = (
+        v_pre[:, bi][:, None, :]
+        + jnp.cross(w_pre[:, bi][:, None, :], pred_r_i_bar)
+        - v_pre[:, bj][:, None, :]
+        - jnp.cross(w_pre[:, bj][:, None, :], pred_r_j_bar)
+    )
+    p = _manifold_impulse(
+        v_pt, v_pt_pre, n_bar, w_of, lam_tot, active, dt,
+        contact.restitution, contact.dynamic_friction,
+    ) / cnt_safe[..., None]  # [B, P, 3]
+
+    p_sum = p.sum(axis=1)
+    dv_i = p_sum * im_i * spec.free_pos[bi]
+    dw_i = _inv_inertia_world(q_i, ii_i, jnp.cross(r_i_bar, p).sum(axis=1)) * spec.free_rot[bi]
+    dv_j = -p_sum * im_j * spec.free_pos[bj]
+    dw_j = _inv_inertia_world(q_j, ii_j, jnp.cross(r_j_bar, -p).sum(axis=1)) * spec.free_rot[bj]
     lin_vel = lin_vel.at[:, bi].add(dv_i).at[:, bj].add(dv_j)
     ang_vel = ang_vel.at[:, bi].add(dw_i).at[:, bj].add(dw_j)
     return lin_vel, ang_vel

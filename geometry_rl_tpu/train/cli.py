@@ -26,6 +26,11 @@ def parse_overrides(pairs):
         parts = key.split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
+        # Hydra-style lowercase booleans first: ast.literal_eval would leave
+        # "true"/"false" as strings, and bool("false") is True downstream.
+        if val.lower() in ("true", "false"):
+            node[parts[-1]] = val.lower() == "true"
+            continue
         try:
             import ast
 
@@ -56,6 +61,7 @@ def main(argv=None):
     logger.log_hparams(cfg)
 
     state = trainer.init(jax.random.PRNGKey(cfg["seed"]))
+    papi_state = trainer.papi_init(state) if trainer.cfg.papi_steps else None
     start_iter = 0
     if args.resume or cfg["logger"]["checkpoint"].get("load_dir"):
         load_dir = args.resume or cfg["logger"]["checkpoint"]["load_dir"]
@@ -65,14 +71,22 @@ def main(argv=None):
         state = restore_checkpoint(load_dir, state, step)
         start_iter = (step or 0) + 1
         print(f"Resumed from {load_dir} @ iteration {step}")
+        if papi_state is not None:
+            # PAPI's cross-iteration carry (policy ring buffer, LR annealing)
+            # is checkpointed beside the train state; without it a resumed
+            # papi_steps run would restart at lr_scale=1 / empty history.
+            papi_dir = load_dir.rstrip("/") + "_papi"
+            if latest_step(papi_dir) is not None:
+                papi_state = restore_checkpoint(papi_dir, papi_state)
+                print(f"Resumed PAPI state from {papi_dir}")
+            else:
+                print(f"WARNING: no PAPI state at {papi_dir}; LR anneal/history reset")
 
     total_iterations = max(1, cfg["collector"]["total_frames"] // cfg["collector"]["frames_per_batch"])
     save_interval = cfg["logger"]["checkpoint"]["save_interval"]
     save_best = cfg["logger"]["checkpoint"]["save_best"]
     best_reward = -float("inf")
     frames_per_batch = trainer.cfg.steps_per_batch * trainer.env.cfg.num_envs
-
-    papi_state = trainer.papi_init(state) if trainer.cfg.papi_steps else None
 
     start = time.time()
     for i in range(start_iter, total_iterations):
@@ -95,11 +109,15 @@ def main(argv=None):
         )
         if save_interval > 0 and i % save_interval == 0:
             save_checkpoint(ckpt_dir, i, state, metrics={"reward": reward})
+            if papi_state is not None:
+                save_checkpoint(ckpt_dir + "_papi", i, papi_state)
         if save_best and reward == reward and reward > best_reward:  # NaN-safe
             best_reward = reward
             save_checkpoint(os.path.join(log_dir, "best"), i, state, metrics={"reward": reward})
 
     save_checkpoint(ckpt_dir, total_iterations - 1, state)
+    if papi_state is not None:
+        save_checkpoint(ckpt_dir + "_papi", total_iterations - 1, papi_state)
     print(f"Training took {time.time() - start:.1f}s")
     logger.close()
 

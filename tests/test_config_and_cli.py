@@ -153,3 +153,20 @@ def test_onpolicy_runner(tmp_path):
     obs = runner.trainer.env.observe(runner.state.env_state)
     act = runner.get_inference_policy()(obs)
     assert act.shape == (2, runner.trainer.env.cfg.action_dim)
+
+
+def test_parse_overrides_types():
+    """CLI overrides parse Hydra-style lowercase booleans to real bools
+    (bool("false") is True — the string must never reach a consumer),
+    plus ints/floats/strings via literal_eval."""
+    from geometry_rl_tpu.train.cli import parse_overrides
+
+    out = parse_overrides(
+        ["env.kwargs.self_collision=true", "algorithm.policy.contextual_std=false",
+         "env.num_envs=8", "algorithm.lr=3e-4", "model=mlp"]
+    )
+    assert out["env"]["kwargs"]["self_collision"] is True
+    assert out["algorithm"]["policy"]["contextual_std"] is False
+    assert out["env"]["num_envs"] == 8
+    assert out["algorithm"]["lr"] == 3e-4
+    assert out["model"] == "mlp"

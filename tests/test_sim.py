@@ -728,3 +728,38 @@ def test_body_pair_zero_is_noop():
         s0, s1 = step0(s0), step1(s1)
     np.testing.assert_array_equal(np.asarray(s0.bodies.pos), np.asarray(s1.bodies.pos))
     np.testing.assert_array_equal(np.asarray(s0.bodies.lin_vel), np.asarray(s1.bodies.lin_vel))
+
+
+def test_opposing_wall_restitution_not_cancelled():
+    """Two loaded contact points on OPPOSITE channel walls: the approach-side
+    wall must still reflect the body. A single centroid/mean-normal manifold
+    averages the opposing normals to ~zero and produces no impulse at all;
+    co-normal grouping keeps the walls as separate manifolds."""
+    from geometry_rl_tpu.sim.xpbd import _velocity_pass_body_contact
+
+    state, spec = single_body_scene(pos=(0.0, 0.0, 1.0))
+    lin_vel = jnp.zeros((B, 1, 3)).at[:, 0, 0].set(1.0)  # toward the +x wall
+    ang_vel = jnp.zeros((B, 1, 3))
+
+    def channel_sdf(points):
+        # walls at x = +-0.05, normals pointing inward (toward the center)
+        x = points[..., 0]
+        phi = 0.05 - jnp.abs(x)
+        n = jnp.zeros_like(points).at[..., 0].set(-jnp.sign(x))
+        return phi, n
+
+    pts = jnp.asarray([[0.05, 0.0, 0.0], [-0.05, 0.0, 0.0]])
+    contact = ContactSet(
+        body=0, local_points=pts, sdf=channel_sdf, friction=0.0, restitution=0.8
+    )
+    lam_n = jnp.full((B, 2), 1e-3)  # both walls loaded (press fit)
+    bodies = state.bodies
+    new_v, _ = _velocity_pass_body_contact(
+        lin_vel, ang_vel, bodies.pos, bodies.quat, bodies.pos, bodies.quat,
+        lin_vel, ang_vel, spec, contact, lam_n, DT,
+    )
+    vx = float(new_v[0, 0, 0])
+    # reflected off the +x wall (a cancelled mean normal leaves vx at +1.0),
+    # without exceeding the incoming speed (Jacobi over-correction)
+    assert vx < -0.4, f"no reflection: vx={vx:.3f}"
+    assert vx >= -1.0, f"energy gained: vx={vx:.3f}"
