@@ -99,6 +99,15 @@ def _bisect(constraint, batch_shape, dtype):
     return 0.5 * (lo + hi)
 
 
+def _scalar_tangent_solve(g, y):
+    """custom_root tangent solve for a per-batch-element scalar root:
+    diagonal linearization; guards the degenerate cov==old_cov case
+    (zero derivative, output discarded by the `active` mask)."""
+    denom = g(jnp.ones_like(y))
+    tiny = jnp.abs(denom) < 1e-20
+    return jnp.where(tiny, 0.0, y / jnp.where(tiny, 1.0, denom))
+
+
 # ---------------------------------------------------------------------------
 # cov-only projection (BatchedCovOnlyProjection)
 # ---------------------------------------------------------------------------
@@ -133,18 +142,14 @@ def kl_full_cov_projection(cov: jnp.ndarray, old_cov: jnp.ndarray, eps) -> jnp.n
         return kl_cov_part_full(_interp_cov(prec, old_prec, eta), old_cov) - eps_solver
 
     def solve(f, _x0):
-        return _bisect(lambda eta: f(eta), cov.shape[:-2], cov.dtype)
-
-    def tangent_solve(g, y):
-        # per-batch-element scalar root: diagonal linearization; guard the
-        # degenerate cov==old_cov case (zero derivative, discarded output)
-        denom = g(jnp.ones_like(y))
-        tiny = jnp.abs(denom) < 1e-20
-        return jnp.where(tiny, 0.0, y / jnp.where(tiny, 1.0, denom))
+        return _bisect(f, cov.shape[:-2], cov.dtype)
 
     prec, _ = _chol_inverse(cov)
     eta = jax.lax.custom_root(
-        lambda eta: constraint(eta, prec), jnp.zeros(cov.shape[:-2], cov.dtype), solve, tangent_solve
+        lambda eta: constraint(eta, prec),
+        jnp.zeros(cov.shape[:-2], cov.dtype),
+        solve,
+        _scalar_tangent_solve,
     )
     proj = _interp_cov(prec, old_prec, eta)
 
@@ -207,16 +212,11 @@ def kl_full_joint_projection(
         return mp + cp - eps_solver
 
     def solve(f, _x0):
-        return _bisect(lambda eta: f(eta), cov.shape[:-2], cov.dtype)
+        return _bisect(f, cov.shape[:-2], cov.dtype)
 
-    def tangent_solve(g, y):
-        # per-batch-element scalar root: diagonal linearization; guard the
-        # degenerate cov==old_cov case (zero derivative, discarded output)
-        denom = g(jnp.ones_like(y))
-        tiny = jnp.abs(denom) < 1e-20
-        return jnp.where(tiny, 0.0, y / jnp.where(tiny, 1.0, denom))
-
-    eta = jax.lax.custom_root(constraint, jnp.zeros(cov.shape[:-2], cov.dtype), solve, tangent_solve)
+    eta = jax.lax.custom_root(
+        constraint, jnp.zeros(cov.shape[:-2], cov.dtype), solve, _scalar_tangent_solve
+    )
     proj_mean, proj_cov = project(eta, mean, prec)
 
     bad = (

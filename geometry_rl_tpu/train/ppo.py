@@ -109,7 +109,6 @@ class Trainer:
         self.policy_builder = policy_builder or RigidGraphBuilder.from_env(env, dist_as_pos=True)
         self.critic_builder = critic_builder or RigidGraphBuilder.from_env(env, dist_as_pos=False)
 
-
         B = env.cfg.num_envs
         n_samples = cfg.steps_per_batch * B
         self.num_minibatches = max(1, n_samples // cfg.mini_batch_size)
@@ -409,7 +408,7 @@ class Trainer:
         """collect + update + `_papi_steps` post-update backtracking
         (papi_projection.py:151-245): one jitted program per iteration.
         Use with proj_type='papi' and a non-contextual-std policy."""
-        from ..rl.projections.papi import PAPIState, papi_steps
+        from ..rl.projections.papi import papi_steps
 
         state, batch, collect_stats = self._collect(state)
         state, metrics = self._update(state, batch, lr_scale=papi_state.lr_scale)
@@ -438,10 +437,8 @@ class Trainer:
             minimal_std=getattr(self.policy, "minimal_std", 1e-5),
             n_iters=self.cfg.papi_iters,
         )
-        papi_state = PAPIState(
-            history=papi_state.history,
-            hist_len=papi_state.hist_len,
-            lr_scale=papi_state.lr_scale * jnp.where(anneal, self.cfg.papi_lr_decay, 1.0),
+        papi_state = papi_state._replace(
+            lr_scale=papi_state.lr_scale * jnp.where(anneal, self.cfg.papi_lr_decay, 1.0)
         )
         state = state._replace(actor_params=new_params)
         metrics.update(collect_stats)
