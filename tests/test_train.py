@@ -228,3 +228,47 @@ def test_papi_steps_trainer_integration():
     # second iteration reuses the carried history
     state, papi_state, metrics = trainer.train_iteration_papi(state, papi_state)
     assert np.isfinite(float(metrics["train/reward"]))
+
+
+def test_entropy_equality_control_pins_training_entropy():
+    """entropy_eq + exp schedule (the TRPL entropy-control mode used to
+    stabilize post-convergence entropy inflation): the PROJECTED policy
+    entropy reported by training must track the schedule bound, preventing
+    the entropy bonus from inflating std indefinitely."""
+    t = build_agent(
+        task="rigid_insertion",
+        model="hepi",
+        num_envs=2,
+        algo="trpl",
+        latent_dim=16,
+        num_ori=4,
+        train_cfg=TrainConfig(
+            algo="trpl", steps_per_batch=4, ppo_epochs=1, mini_batch_size=8,
+            total_iterations=4,
+        ),
+        env_kwargs={"warmup_steps": 0, "episode_length": 4},
+        entropy_schedule="exp",
+        entropy_eq=True,
+        target_entropy=0.0,
+        temperature=0.5,
+    )
+    state = t.init(jax.random.PRNGKey(0))
+    state, metrics = t.train_iteration(state)
+    assert np.isfinite(float(metrics["loss_objective"]))
+
+    # the projection layer itself (get_projection_layer wiring of entropy_eq)
+    # must pin ANY input dist's entropy to the decayed bound mid-schedule —
+    # the mechanism that stops entropy-bonus inflation. (metrics["entropy"]
+    # reports the RAW policy dist, which only converges to the bound over
+    # many updates via the trust-region loss, so assert on the layer output.)
+    from geometry_rl_tpu.rl import gaussian as G
+
+    A = t.env.cfg.action_dim
+    p = G.DiagGaussian(jnp.zeros((5, A)), jnp.full((5, A), 2.0))  # inflated std
+    q = G.DiagGaussian(jnp.zeros((5, A)), jnp.ones((5, A)))
+    step = jnp.asarray(2)
+    proj = t.projection(p, q, step=step, initial_entropy=state.initial_entropy)
+    bound = t.projection.entropy_bound(step, state.initial_entropy, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(G.entropy(proj)), float(bound), rtol=1e-4
+    )
