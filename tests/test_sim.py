@@ -763,3 +763,29 @@ def test_opposing_wall_restitution_not_cancelled():
     # without exceeding the incoming speed (Jacobi over-correction)
     assert vx < -0.4, f"no reflection: vx={vx:.3f}"
     assert vx >= -1.0, f"energy gained: vx={vx:.3f}"
+
+
+def test_conormal_manifold_grouping():
+    """_conormal_manifolds: coplanar normals form ONE group (centroid/mean
+    aggregates = the classic single manifold), orthogonal normals stay in
+    separate per-face groups."""
+    from geometry_rl_tpu.sim.xpbd import _conormal_manifolds
+
+    # 3 points: two on the floor (n=+z), one on a wall (n=+x)
+    n = jnp.asarray([[[0.0, 0, 1], [0, 0, 1], [1, 0, 0]]])
+    active = jnp.ones((1, 3))
+    lam = jnp.asarray([[1.0, 2.0, 4.0]])
+    r = jnp.asarray([[[1.0, 0, 0], [3.0, 0, 0], [0, 0, 5.0]]])
+    cnt, n_bar, lam_tot, (r_bar,) = _conormal_manifolds(active, n, lam, (r,))
+    np.testing.assert_allclose(np.asarray(cnt[0]), [2.0, 2.0, 1.0])
+    np.testing.assert_allclose(np.asarray(lam_tot[0]), [3.0, 3.0, 4.0])
+    np.testing.assert_allclose(np.asarray(r_bar[0, 0]), [2.0, 0, 0])  # floor centroid
+    np.testing.assert_allclose(np.asarray(r_bar[0, 2]), [0, 0, 5.0])  # wall alone
+    np.testing.assert_allclose(np.asarray(n_bar[0, 0]), [0, 0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n_bar[0, 2]), [1.0, 0, 0], atol=1e-6)
+
+    # inactive points join no group
+    active2 = jnp.asarray([[1.0, 0.0, 1.0]])
+    cnt2, _, lam2, _ = _conormal_manifolds(active2, n, lam, (r,))
+    np.testing.assert_allclose(np.asarray(cnt2[0]), [1.0, 1.0, 1.0])  # clamped >= 1
+    np.testing.assert_allclose(np.asarray(lam2[0]), [1.0, 0.0, 4.0])
