@@ -789,3 +789,36 @@ def test_conormal_manifold_grouping():
     cnt2, _, lam2, _ = _conormal_manifolds(active2, n, lam, (r,))
     np.testing.assert_allclose(np.asarray(cnt2[0]), [1.0, 1.0, 1.0])  # clamped >= 1
     np.testing.assert_allclose(np.asarray(lam2[0]), [1.0, 0.0, 4.0])
+
+
+def test_static_friction_angle_coulomb_cone():
+    """Analytic (non-self-referential) friction gate: a flat plate on an
+    inclined plane holds below the Coulomb friction angle atan(mu) and
+    slides above it. Plate 0.2x0.2x0.04 so toppling (~79 deg) cannot
+    masquerade as sliding."""
+    corners = jnp.asarray(
+        [[sx * 0.1, sy * 0.1, sz * 0.02] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+
+    def run(theta_deg, mu, steps=200):
+        th = np.deg2rad(theta_deg)
+        n = jnp.asarray([-np.sin(th), 0.0, np.cos(th)])
+        t_dir = jnp.asarray([np.cos(th), 0.0, np.sin(th)])
+        quat = jnp.asarray([np.cos(-th / 2), 0.0, np.sin(-th / 2), 0.0])
+        center = 0.02 * n
+        state, spec = single_body_scene(pos=tuple(np.asarray(center)))
+        state = state._replace(bodies=state.bodies._replace(quat=jnp.tile(quat, (B, 1, 1))))
+
+        def plane_sdf(p):
+            return jnp.sum(p * n, axis=-1), jnp.broadcast_to(n, p.shape)
+
+        contact = ContactSet(body=0, local_points=corners, sdf=plane_sdf, friction=mu)
+        step = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(contact,), iterations=8))
+        for _ in range(steps):
+            state = step(state)
+        return float(jnp.sum((state.bodies.pos[0, 0] - center) * t_dir))
+
+    assert abs(run(30, 1.0)) < 0.05   # below atan(1.0)=45 deg: holds (creep only)
+    assert run(60, 1.0) < -1.0        # above: slides downhill
+    assert abs(run(60, 2.0)) < 0.05   # below atan(2.0)=63.4 deg: holds
+    assert run(30, 0.0) < -1.0        # frictionless control slides anywhere
