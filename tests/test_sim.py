@@ -822,3 +822,54 @@ def test_static_friction_angle_coulomb_cone():
     assert run(60, 1.0) < -1.0        # above: slides downhill
     assert abs(run(60, 2.0)) < 0.05   # below atan(2.0)=63.4 deg: holds
     assert run(30, 0.0) < -1.0        # frictionless control slides anywhere
+
+
+def test_pinned_chain_settles_to_catenary():
+    """Analytic particle-constraint gate: a pinned inextensible chain under
+    gravity settles to a catenary. XPBD's residual per-substep stretch is a
+    few percent at 12 iterations, so the shape is compared against the
+    catenary of the MEASURED arc length (pure shape property); pointwise
+    agreement is sub-millimeter."""
+    from scipy.optimize import brentq
+
+    P, S, L = 33, 1.0, 1.2
+    x0 = np.zeros((P, 3))
+    x0[:, 0] = np.linspace(0, S, P)
+    inv_m = np.ones(P)
+    inv_m[0] = inv_m[-1] = 0.0
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.zeros((B, 1, 3)), quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)), ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=ParticleState(pos=jnp.tile(jnp.asarray(x0), (B, 1, 1)), vel=jnp.zeros((B, P, 3))),
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1), inv_inertia=jnp.zeros((1, 3)), gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1), ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)), free_rot=jnp.ones((1, 3)),
+    )
+    rest = L / (P - 1)
+    groups = tuple(
+        DistanceGroup(i=jnp.asarray(idx), j=jnp.asarray(idx + 1),
+                      rest=jnp.full(len(idx), rest), compliance=jnp.zeros(len(idx)))
+        for idx in (np.arange(0, P - 1, 2), np.arange(1, P - 1, 2))
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.asarray(inv_m), lin_damping=1.0)
+    step = jax.jit(lambda s: xpbd_substep(s, spec, DT, particle_spec=p_spec,
+                                          distance_groups=groups, iterations=12))
+    for _ in range(2500):
+        state = step(state)
+
+    assert float(jnp.abs(state.particles.vel).max()) < 1e-4  # settled
+    pos = np.asarray(state.particles.pos[0])
+    seg = np.linalg.norm(np.diff(pos, axis=0), axis=-1)
+    Lm = float(seg.sum())
+    assert abs(Lm - L) / L < 0.04  # residual XPBD stretch stays small
+
+    a = brentq(lambda a: 2 * a * np.sinh(S / (2 * a)) - Lm, 0.05, 10.0)
+    sag = a * (np.cosh(S / (2 * a)) - 1)
+    z = pos[:, 2]
+    assert abs(-z.min() - sag) / sag < 0.01  # sag matches to 1%
+    z_analytic = a * np.cosh((pos[:, 0] - S / 2) / a) - a * np.cosh(S / (2 * a))
+    assert np.abs(z - z_analytic).max() < 2e-3  # sub-2mm pointwise
