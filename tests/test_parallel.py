@@ -151,3 +151,33 @@ def test_one_vs_eight_device_equivalence(trainer, state):
     ):
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_papi_iteration_under_mesh_finite():
+    """The PAPI post-update path (history scan + weight interpolation over
+    full-batch forwards) must also run under the env-sharded mesh."""
+    trainer = build_agent(
+        task="rigid_pushing",
+        model="mlp",
+        num_envs=NUM_ENVS,
+        algo="trpl",
+        latent_dim=8,
+        proj_type="papi",
+        contextual_std=False,
+        train_cfg=TrainConfig(
+            algo="trpl", steps_per_batch=4, ppo_epochs=2, mini_batch_size=2 * NUM_ENVS,
+            papi_steps=True, papi_history=2, papi_iters=2,
+        ),
+        env_kwargs={"warmup_steps": 0, "episode_length": 4},
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    papi_state = trainer.papi_init(state)
+    mesh = make_mesh(8)
+    sharded = shard_train_state(state, mesh, NUM_ENVS)
+    with mesh:
+        new_state, papi_state, metrics = trainer.train_iteration_papi(sharded, papi_state)
+        jax.block_until_ready(metrics)
+    assert jnp.isfinite(metrics["loss_objective"])
+    assert jnp.isfinite(metrics["papi/n_backtracks"])
+    for leaf in _leaves_with_ndim(new_state.actor_params):
+        assert jnp.all(jnp.isfinite(leaf))
