@@ -207,7 +207,42 @@ def bench_train_iteration(task="rigid_insertion", num_envs=1024, steps=100, n_ru
     return result
 
 
+def _backend_watchdog(timeout_s: float = 180.0):
+    """Fail fast with a parseable JSON line if backend init hangs.
+
+    The TPU tunnel can wedge (observed: relay dead, `jax.devices()` blocks
+    forever inside native code where no Python timeout can reach). A daemon
+    thread emits an error record and hard-exits unless init completes in
+    time, so the driver gets an artifact instead of a killed process.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(
+                json.dumps(
+                    {
+                        "metric": "rigid_insertion_hepi_collection_env_steps_per_sec",
+                        "value": 0.0,
+                        "unit": "env-steps/sec",
+                        "vs_baseline": 0.0,
+                        "error": f"backend init timed out after {timeout_s:.0f}s "
+                        "(TPU tunnel unreachable)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    jax.devices()  # blocks here if the tunnel is wedged
+    done.set()
+
+
 def main():
+    _backend_watchdog()
     if TINY:
         rigid = bench_collection("rigid_insertion", 8, 4, n_runs=1)
         cloth = bench_collection("cloth_hanging", 8, 4, n_runs=1)
