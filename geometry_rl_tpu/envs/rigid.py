@@ -118,6 +118,14 @@ class RigidTaskCfg:
     velocity_weight: float = 0.0  # sliding: -0.1
     action_rate_weight: float = 0.0  # sliding: -2e-3
 
+    # velocity-pass material (scene_cfg.py RigidBodyMaterialCfg() — PhysX
+    # defaults static=dynamic friction, restitution=0). 0 disables the pass
+    # (round-1 quasi-static parity default); dynamic_friction_scale=1.0 gives
+    # each contact a dynamic coefficient equal to its static one, matching
+    # the reference's default material.
+    restitution: float = 0.0
+    dynamic_friction_scale: float = 0.0
+
     # reset randomization (event_cfg.py); tuples are (lo, hi)
     object_xy_range: Tuple[float, float] = (-1.0, 1.0)
     object_z_range: Tuple[float, float] = (1.0, 1.5)  # absolute z after reset
@@ -403,7 +411,10 @@ class RigidEnv:
         pair_contacts = []
         if cfg.ground:
             contacts.append(
-                ContactSet(body=cfg.object_body, local_points=self.obj_surface, sdf=ground_sdf, friction=0.5)
+                ContactSet(
+                    body=cfg.object_body, local_points=self.obj_surface, sdf=ground_sdf, friction=0.5,
+                    restitution=cfg.restitution, dynamic_friction=cfg.dynamic_friction_scale * 0.5,
+                )
             )
         if cfg.has_plate:
             plate_pos = scene.bodies.pos[:, cfg.plate_body]
@@ -422,7 +433,10 @@ class RigidEnv:
                 return phi, n_world
 
             contacts.append(
-                ContactSet(body=cfg.object_body, local_points=self.obj_surface, sdf=plate_sdf, friction=0.3)
+                ContactSet(
+                    body=cfg.object_body, local_points=self.obj_surface, sdf=plate_sdf, friction=0.3,
+                    restitution=cfg.restitution, dynamic_friction=cfg.dynamic_friction_scale * 0.3,
+                )
             )
         if not cfg.attached:
             # pushing: gripper stick vs object prism (both ways via pair contact)
@@ -461,7 +475,8 @@ class RigidEnv:
             for i in range(cfg.num_grippers):
                 pair_contacts.append(
                     BodyPairContact(
-                        body_points=i, body_sdf=cfg.object_body, local_points=corners, sdf=obj_sdf, friction=0.6
+                        body_points=i, body_sdf=cfg.object_body, local_points=corners, sdf=obj_sdf, friction=0.6,
+                        restitution=cfg.restitution, dynamic_friction=cfg.dynamic_friction_scale * 0.6,
                     )
                 )
         return contacts, pair_contacts

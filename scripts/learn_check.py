@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-dir", default=None, help="checkpoint the final state here")
     ap.add_argument("--success-threshold", type=float, default=0.1)
+    ap.add_argument("--env-kw", nargs="*", default=[], help="extra env kwargs key=value (floats)")
     args = ap.parse_args()
 
     from geometry_rl_tpu.train import TrainConfig
@@ -45,7 +46,7 @@ def main():
             mini_batch_size=args.mini_batch,
             total_iterations=args.iterations,
         ),
-        env_kwargs={"warmup_steps": 0},
+        env_kwargs={"warmup_steps": 0, **{k: float(v) for k, v in (s.split("=", 1) for s in args.env_kw)}},
     )
     state = trainer.init(jax.random.PRNGKey(0))
 

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU queue: runs SEQUENTIALLY the moment the axon relay recovers
+# (one real chip; concurrent jobs stall each other). Stages, priority order:
+#   1. two-agents entropy-control rerun (round-2 attempt died with the relay;
+#      fix validated through iter 23 — see PLAN.md queue #1)
+#   2. material-physics robustness evals: flagship pushing + sliding policies
+#      evaluated with the velocity-pass material enabled
+#      (dynamic_friction_scale=1.0 — PhysX default dynamic==static friction)
+#   3. short material-on learn-check (pushing): training remains stable with
+#      the full velocity pass active
+#   4. bench.py refresh -> docs/bench_r3.json
+set -u
+cd /root/repo
+LOG=docs/r3_queue.log
+echo "[r3] start $(date)" >> "$LOG"
+
+# --- 1. two-agents entropy control (train + eval inside the script)
+bash scripts/r2_two_agents_entctl.sh
+echo "[r3] entctl done rc=$? $(date)" >> "$LOG"
+
+# --- 2. material robustness evals on existing flagship checkpoints
+PUSH_RUN=$(ls -d logs/r2_pushing/* | tail -1)
+timeout 1800 python scripts/eval_breakdown.py --run-dir "$PUSH_RUN" \
+  --override env.kwargs.dynamic_friction_scale=1.0 \
+  --out docs/eval_material_pushing_r3.json >> "$LOG" 2>&1
+echo "[r3] eval pushing(material) rc=$?" >> "$LOG"
+timeout 1800 python scripts/eval_breakdown.py --run-dir logs/r3_sliding \
+  --override env.kwargs.dynamic_friction_scale=1.0 \
+  --out docs/eval_material_sliding_r3.json >> "$LOG" 2>&1
+echo "[r3] eval sliding(material) rc=$?" >> "$LOG"
+
+# --- 3. material-on learn-check (pushing exercises the body-pair pass)
+timeout 7200 python scripts/learn_check.py --task rigid_pushing --model hepi \
+  --num-envs 512 --iterations 40 --env-kw dynamic_friction_scale=1.0 \
+  --out docs/learn_material_pushing_r3.json \
+  > docs/learn_material_pushing_r3.log 2>&1
+echo "[r3] learn-check pushing(material) rc=$?" >> "$LOG"
+
+# --- 4. bench refresh
+timeout 3600 python bench.py > docs/bench_r3.json 2>docs/bench_r3.err
+echo "[r3] bench rc=$?" >> "$LOG"
+echo "[r3] done $(date)" >> "$LOG"

@@ -178,3 +178,42 @@ def test_env_rollout_under_scan(insertion_env):
     _, rewards = jax.lax.scan(body, state, None, length=5)
     assert rewards.shape == (5, B)
     assert np.isfinite(np.asarray(rewards)).all()
+
+
+def test_material_cfg_plumbs_into_contacts():
+    """restitution / dynamic_friction_scale reach every contact set with the
+    contact's own static coefficient as the base (scene_cfg.py
+    RigidBodyMaterialCfg defaults: dynamic == static friction)."""
+    env = make_env("rigid_pushing", num_envs=4, dynamic_friction_scale=1.0, restitution=0.25)
+    state = env.reset(jax.random.PRNGKey(3))
+    contacts, pair_contacts = env._contacts(state.scene)
+    for c in contacts + pair_contacts:
+        assert c.restitution == 0.25
+        assert c.dynamic_friction == c.friction  # scale 1.0 -> dynamic == static
+    # default stays off (round-1 quasi-static parity)
+    env0 = make_env("rigid_pushing", num_envs=4)
+    c0, p0 = env0._contacts(env0.reset(jax.random.PRNGKey(3)).scene)
+    assert all(c.dynamic_friction == 0.0 and c.restitution == 0.0 for c in c0 + p0)
+
+
+def test_pushing_velocity_pass_active_in_env_step():
+    """With dynamic_friction_scale on, the body-pair velocity pass runs inside
+    env.step and changes the pushed object's trajectory (exact Coulomb/
+    restitution physics is gated analytically at sim level in test_sim.py;
+    this guards the env-level wiring). Stays finite either way."""
+
+    def run(scale):
+        env = make_env("rigid_pushing", num_envs=4, dynamic_friction_scale=scale)
+        state = env.reset(jax.random.PRNGKey(5))
+        for _ in range(10):  # drive the stick into the object
+            obj = state.scene.bodies.pos[:, env.cfg.object_body]
+            grip = state.scene.bodies.pos[:, 0]
+            d = obj - grip
+            a = jnp.concatenate([d[:, :2] * 5.0, jnp.zeros((4, 1))], axis=-1)
+            state, _ = env.step(state, a)
+        return np.asarray(state.scene.bodies.pos[:, env.cfg.object_body])
+
+    p_off, p_on = run(0.0), run(1.0)
+    assert np.isfinite(p_on).all()
+    delta = np.abs(p_off - p_on).max()
+    assert 1e-5 < delta < 0.1, delta  # active, but a perturbation not a blowup
