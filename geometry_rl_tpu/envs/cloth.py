@@ -145,6 +145,12 @@ class ClothTaskCfg:
     # and the Pallas kernels (parity-gated in tests/test_envs_cloth.py).
     self_collision: bool = False
     self_collision_distance: Optional[float] = None  # default 2*restOffset
+    # velocity-pass material on the hook contact (RigidBodyMaterialCfg()
+    # defaults: dynamic == static friction, restitution 0). The velocity pass
+    # lives in the XLA solver only; enabling it steers "auto" to the XLA path
+    # and rejects an explicitly requested Pallas solver.
+    restitution: float = 0.0
+    dynamic_friction_scale: float = 0.0
 
     gripper_mass: float = 10.0
     gripper_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
@@ -368,8 +374,16 @@ class ClothEnv:
             self.self_pair_mask_full = self.self_active_full = None
 
         mode = cfg.use_pallas_solver
+        material_on = cfg.restitution > 0.0 or cfg.dynamic_friction_scale > 0.0
         if mode == "auto":
-            mode = "tiled" if jax.default_backend() == "tpu" else False
+            mode = "tiled" if (jax.default_backend() == "tpu" and not material_on) else False
+        elif mode and material_on:
+            raise ValueError(
+                "use_pallas_solver is incompatible with the velocity-pass "
+                "material (restitution/dynamic_friction_scale): the Pallas "
+                "kernels implement the position solve only. Use "
+                "use_pallas_solver=false (or 'auto')."
+            )
         self.solver_mode = mode
 
     def _build_obs_spec(self) -> ObsSpec:
@@ -474,7 +488,12 @@ class ClothEnv:
             n = d / jnp.maximum(dist, 1e-9)[..., None]
             return phi, n
 
-        return (ParticleSDFContact(sdf=hook_sdf, friction=0.2),)
+        return (
+            ParticleSDFContact(
+                sdf=hook_sdf, friction=0.2,
+                restitution=cfg.restitution, dynamic_friction=cfg.dynamic_friction_scale * 0.2,
+            ),
+        )
 
     def _apply_action(self, scene: SceneState, action: jnp.ndarray) -> SceneState:
         cfg = self.cfg

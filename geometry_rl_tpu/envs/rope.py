@@ -122,6 +122,10 @@ class RopeTaskCfg:
     gripper_size: Tuple[float, float, float] = (0.1, 0.1, 0.1)
     rope_z: float = 0.1
     ground_z: float = -0.5
+    # velocity-pass material (scene_cfg.py RigidBodyMaterialCfg() defaults:
+    # dynamic == static friction, restitution 0). 0 disables the pass.
+    restitution: float = 0.0
+    dynamic_friction_scale: float = 0.0
 
     # closing scene
     hanger_pos: Tuple[float, float, float] = (2.0, 3.0, 0.0)
@@ -334,7 +338,12 @@ class RopeEnv:
 
     def _particle_contacts(self, hanger_xy):
         cfg = self.cfg
-        contacts = [ParticleSDFContact(sdf=lambda p: ground_sdf(p, cfg.ground_z), friction=0.3)]
+        contacts = [
+            ParticleSDFContact(
+                sdf=lambda p: ground_sdf(p, cfg.ground_z), friction=0.3,
+                restitution=cfg.restitution, dynamic_friction=cfg.dynamic_friction_scale * 0.3,
+            )
+        ]
         if not cfg.is_shaping:
             radius = cfg.hanger_radius
 
@@ -346,7 +355,12 @@ class RopeEnv:
                 n = jnp.concatenate([n_xy, jnp.zeros_like(points[..., :1])], axis=-1)
                 return phi, n
 
-            contacts.append(ParticleSDFContact(sdf=pole_sdf, friction=0.4))
+            contacts.append(
+                ParticleSDFContact(
+                    sdf=pole_sdf, friction=0.4,
+                    restitution=cfg.restitution, dynamic_friction=cfg.dynamic_friction_scale * 0.4,
+                )
+            )
         return tuple(contacts)
 
     def _apply_action(self, scene: SceneState, action: jnp.ndarray) -> SceneState:

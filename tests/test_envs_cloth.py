@@ -266,3 +266,21 @@ def test_pallas_solver_matches_xla_with_self_collision():
                 np.asarray(s.scene.bodies.pos),
                 atol=2e-4,
             )
+
+
+def test_cloth_material_steers_solver_and_plumbs():
+    """Material on: 'auto' resolves to the XLA solver (the velocity pass is
+    XLA-only), an explicit Pallas solver raises, and the hook contact carries
+    the coefficients."""
+    import pytest
+
+    from geometry_rl_tpu.envs import make_env
+
+    env = make_env("cloth_hanging", num_envs=2, warmup_steps=0,
+                   dynamic_friction_scale=1.0, restitution=0.2)
+    assert env.solver_mode is False
+    (c,) = env._hanger_contacts(env.reset(jax.random.PRNGKey(0)).scene.bodies.pos[:, 0])
+    assert c.restitution == 0.2 and c.dynamic_friction == c.friction
+    with pytest.raises(ValueError, match="velocity-pass material"):
+        make_env("cloth_hanging", num_envs=2, use_pallas_solver="tiled",
+                 dynamic_friction_scale=1.0)

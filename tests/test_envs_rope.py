@@ -150,3 +150,21 @@ def test_rope_action_term_parity():
     v = np.asarray(scene.bodies.lin_vel)
     np.testing.assert_allclose(v[:, 0], [[5.0, 0.0, 0.0]] * 2)  # clamped*5, z=0
     np.testing.assert_allclose(v[:, 1], [[0.0, -5.0, 0.0]] * 2)
+
+
+def test_rope_material_cfg_plumbs_into_contacts():
+    """restitution / dynamic_friction_scale reach both particle contacts with
+    each contact's own static coefficient as the base."""
+    from geometry_rl_tpu.envs import make_env
+
+    env = make_env("rope_closing", num_envs=2, warmup_steps=0,
+                   dynamic_friction_scale=1.0, restitution=0.1)
+    state = env.reset(jax.random.PRNGKey(0))
+    hanger_xy = state.scene.bodies.pos[:, env.cfg.num_grippers, :2]
+    contacts = env._particle_contacts(hanger_xy)
+    assert len(contacts) == 2  # ground + pole
+    for c in contacts:
+        assert c.restitution == 0.1
+        assert c.dynamic_friction == c.friction
+    state, ts = env.step(state, jnp.zeros((2, env.cfg.action_dim)))
+    assert np.isfinite(np.asarray(ts.reward)).all()
