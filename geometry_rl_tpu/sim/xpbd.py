@@ -165,6 +165,42 @@ def _inv_inertia_world(quat: jnp.ndarray, inv_inertia_body: jnp.ndarray, u: jnp.
     return quat_apply(quat, inv_inertia_body * u_body)
 
 
+def _gyroscopic_step(quat: jnp.ndarray, w: jnp.ndarray, inv_inertia: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Implicit gyroscopic update of world angular velocity w.
+
+    Solves I*(w1-w0) + dt*w1 x (I*w1) = 0 in the body frame with one Newton
+    step (unconditionally stable; explicit w x Iw integration blows up for
+    tumbling bodies). Equivalent of PhysX's opt-in
+    PxRigidBodyFlag::eENABLE_GYROSCOPIC_FORCES — off by default like PhysX,
+    and identically zero for the reference tasks (yaw-only free rotation
+    keeps w on a principal axis).
+    """
+    wb = quat_apply(quat_conjugate(quat), w)
+    # diag body inertia; rows with any zero inverse (static/locked bodies)
+    # pass through unchanged
+    valid = jnp.all(inv_inertia > 0.0, axis=-1)
+    ib = jnp.where(inv_inertia > 0.0, 1.0 / jnp.maximum(inv_inertia, 1e-12), 0.0)
+    iw = ib * wb
+
+    def skew(u):
+        zero = jnp.zeros_like(u[..., 0])
+        return jnp.stack(
+            [
+                jnp.stack([zero, -u[..., 2], u[..., 1]], axis=-1),
+                jnp.stack([u[..., 2], zero, -u[..., 0]], axis=-1),
+                jnp.stack([-u[..., 1], u[..., 0], zero], axis=-1),
+            ],
+            axis=-2,
+        )
+
+    f = dt * jnp.cross(wb, iw)
+    eye = jnp.eye(3, dtype=w.dtype)
+    J = ib[..., None] * eye + dt * (skew(wb) @ (ib[..., :, None] * eye) - skew(iw))
+    dwb = jnp.linalg.solve(J, f[..., None])[..., 0]
+    wb1 = jnp.where(valid[..., None], wb - dwb, wb)
+    return quat_apply(quat, wb1)
+
+
 def _generalized_inv_mass(
     quat: jnp.ndarray, inv_mass: jnp.ndarray, inv_inertia: jnp.ndarray, r: jnp.ndarray, n: jnp.ndarray
 ) -> jnp.ndarray:
@@ -685,6 +721,7 @@ def xpbd_substep(
     self_contacts: Sequence[ParticleSelfContact] = (),
     iterations: int = 8,
     max_velocity: float = 1e3,
+    gyroscopic: bool = False,
 ) -> SceneState:
     """One physics substep (dt = sim.dt, called `decimation` times per
     control step like RLTaskEnv)."""
@@ -696,6 +733,8 @@ def xpbd_substep(
     v = (bodies.lin_vel + dt * GRAVITY * body_spec.gravity_scale[:, None]) * lin_damp[:, None]
     w = bodies.ang_vel * ang_damp[:, None]
     v = jnp.clip(v * body_spec.free_pos, -max_velocity, max_velocity)
+    if gyroscopic:
+        w = _gyroscopic_step(bodies.quat, w, body_spec.inv_inertia, dt)
     w = w * body_spec.free_rot
 
     prev_pos, prev_quat = bodies.pos, bodies.quat
