@@ -44,16 +44,26 @@ def _is_env_batched(x: Any, num_envs: int) -> bool:
 def shard_env_pytree(tree: Any, mesh: Mesh, num_envs: int) -> Any:
     """Place every [num_envs, ...] leaf sharded over the env axis; everything
     else replicated. Applied to EnvState / obs pytrees before the jitted
-    train step so XLA propagates the layout through the whole program."""
+    train step so XLA propagates the layout through the whole program.
+
+    Leaves whose field/dict name is "key" are always replicated: a PRNG key
+    is uint32[2] (or [4]), so with num_envs == 2 the shape[0] heuristic alone
+    would silently shard the key across devices and change RNG semantics."""
     env_s = env_sharding(mesh)
     rep = replicated(mesh)
 
-    def place(x):
-        if _is_env_batched(x, num_envs):
+    def _leaf_name(path) -> str:
+        if not path:
+            return ""
+        last = path[-1]
+        return getattr(last, "name", None) or str(getattr(last, "key", ""))
+
+    def place(path, x):
+        if _leaf_name(path) != "key" and _is_env_batched(x, num_envs):
             return jax.device_put(x, env_s)
         return jax.device_put(x, rep)
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def shard_train_state(state: Any, mesh: Mesh, num_envs: int) -> Any:

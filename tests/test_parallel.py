@@ -101,6 +101,24 @@ def test_shard_env_pytree_helpers():
     assert out["nonbatched"].sharding == replicated(mesh)
 
 
+def test_shard_env_pytree_never_shards_prng_keys():
+    """With num_envs == 2 a raw PRNG key is uint32[2] and shape-matches the
+    env axis; the name-based guard must keep it replicated (sharding a key
+    across devices silently changes RNG semantics)."""
+    import collections
+
+    mesh = make_mesh(2)
+    State = collections.namedtuple("State", ["key", "obs"])
+    tree = State(key=jax.random.PRNGKey(0), obs=jnp.zeros((2, 3)))
+    out = shard_env_pytree(tree, mesh, num_envs=2)
+    assert out.key.sharding == replicated(mesh)
+    assert out.obs.sharding == env_sharding(mesh)
+    # dict containers use DictKey paths; same guard applies
+    out2 = shard_env_pytree({"key": jax.random.PRNGKey(1), "x": jnp.zeros((2,))}, mesh, 2)
+    assert out2["key"].sharding == replicated(mesh)
+    assert out2["x"].sharding == env_sharding(mesh)
+
+
 def test_train_iteration_under_mesh_finite(trainer, state):
     mesh = make_mesh(8)
     sharded = shard_train_state(state, mesh, NUM_ENVS)
@@ -181,3 +199,26 @@ def test_papi_iteration_under_mesh_finite():
     assert jnp.isfinite(metrics["papi/n_backtracks"])
     for leaf in _leaves_with_ndim(new_state.actor_params):
         assert jnp.all(jnp.isfinite(leaf))
+
+
+def test_cloth_env_step_under_mesh():
+    """Particle pytrees (SceneState.particles) shard and step correctly under
+    the env mesh — the rigid-only coverage above never touches them."""
+    from geometry_rl_tpu.envs import make_env
+
+    env = make_env("cloth_hanging", num_envs=16, warmup_steps=0, episode_length=4)
+    mesh = make_mesh(8)
+    state = env.reset(jax.random.PRNGKey(0))
+    state = shard_env_pytree(state, mesh, 16)
+    assert state.scene.particles.pos.sharding == env_sharding(mesh)
+    assert state.key.sharding == replicated(mesh)
+
+    step = jax.jit(env.step)
+    a = jnp.zeros((16, env.cfg.action_dim))
+    for _ in range(3):
+        state, ts = step(state, a)
+    assert jnp.isfinite(ts.reward).all()
+    assert jnp.isfinite(state.scene.particles.pos).all()
+    # env-sharded layout survives the jitted step (no silent gather)
+    spec = state.scene.particles.pos.sharding.spec
+    assert spec and spec[0] == ENV_AXIS, spec
