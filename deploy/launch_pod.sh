@@ -12,5 +12,9 @@ ZONE="${2:?zone}"
 CONFIG="${3:?config}"
 shift 3 || true
 
+# GEOMRL_MULTIHOST=1 makes the CLI call jax.distributed.initialize() (topology
+# auto-discovered from TPU metadata) so all hosts form ONE SPMD program: the
+# env axis shards over the slice's global mesh (parallel/multihost.py), rank 0
+# owns logging, and orbax checkpoint saves are collective.
 gcloud compute tpus tpu-vm ssh "$TPU" --zone "$ZONE" --worker=all --command \
-  "cd ~/geometry_rl_tpu && python -m geometry_rl_tpu.train.cli --config $CONFIG ${*:+--override $*}"
+  "cd ~/geometry_rl_tpu && GEOMRL_MULTIHOST=1 python -m geometry_rl_tpu.train.cli --config $CONFIG ${*:+--override $*}"

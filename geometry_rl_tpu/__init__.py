@@ -21,5 +21,26 @@ Layer map (mirrors reference layers, see /root/repo/SURVEY.md §1):
 
 __version__ = "0.1.0"
 
-from .config import load_config, trainer_from_config  # noqa: E402,F401
-from .envs import make_env  # noqa: E402,F401
+# Lazy re-exports (PEP 562). Importing the framework creates jnp constants,
+# which initializes the XLA backend — but `jax.distributed.initialize` (the
+# multi-host path, parallel/multihost.py) must run BEFORE backend init. A
+# lazy package root keeps `python -m geometry_rl_tpu.train.cli` light until
+# the CLI has had the chance to wire up the distributed runtime.
+_LAZY = {
+    "load_config": ".config",
+    "trainer_from_config": ".config",
+    "make_env": ".envs",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module = importlib.import_module(_LAZY[name], __name__)
+        return getattr(module, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

@@ -41,6 +41,39 @@ def _is_env_batched(x: Any, num_envs: int) -> bool:
     return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_envs
 
 
+def _put_global(x: Any, sharding: NamedSharding):
+    """Place one leaf under `sharding`, multi-process aware.
+
+    Single process: plain device_put. Multi-process (pod slice): every
+    process computes the FULL array identically (same seed, deterministic
+    init), so build the global jax.Array from this process's row block —
+    `jax.devices()` orders process 0's chips first, so the env axis maps to
+    contiguous per-process blocks.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    if sharding.spec and len(sharding.spec) >= 1 and sharding.spec[0] == ENV_AXIS:
+        n = jax.process_count()
+        if x.shape[0] % n != 0:
+            raise ValueError(
+                f"env axis {x.shape[0]} not divisible by process count {n}"
+            )
+        per = x.shape[0] // n
+        i = jax.process_index()
+        local = x[i * per : (i + 1) * per]
+    else:
+        local = x
+    return jax.make_array_from_process_local_data(sharding, local, x.shape)
+
+
+def replicate_pytree(tree: Any, mesh: Mesh) -> Any:
+    """Replicate every leaf over the (possibly multi-host) mesh — for
+    auxiliary carries like PAPIState that must enter a global-mesh jit."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: _put_global(x, rep), tree)
+
+
 def shard_env_pytree(tree: Any, mesh: Mesh, num_envs: int) -> Any:
     """Place every [num_envs, ...] leaf sharded over the env axis; everything
     else replicated. Applied to EnvState / obs pytrees before the jitted
@@ -60,8 +93,8 @@ def shard_env_pytree(tree: Any, mesh: Mesh, num_envs: int) -> Any:
 
     def place(path, x):
         if _leaf_name(path) != "key" and _is_env_batched(x, num_envs):
-            return jax.device_put(x, env_s)
-        return jax.device_put(x, rep)
+            return _put_global(x, env_s)
+        return _put_global(x, rep)
 
     return jax.tree_util.tree_map_with_path(place, tree)
 
@@ -70,14 +103,16 @@ def shard_train_state(state: Any, mesh: Mesh, num_envs: int) -> Any:
     """TrainState placement: env_state/obs sharded on env; params, optimizer
     state, normalizer stats, counters replicated."""
     rep = replicated(mesh)
+    put_rep = lambda t: jax.tree_util.tree_map(lambda x: _put_global(x, rep), t)
     return state._replace(
-        actor_params=jax.device_put(state.actor_params, rep),
-        critic_params=jax.device_put(state.critic_params, rep),
-        actor_opt=jax.device_put(state.actor_opt, rep),
-        critic_opt=jax.device_put(state.critic_opt, rep),
-        norm=jax.device_put(state.norm, rep),
+        actor_params=put_rep(state.actor_params),
+        critic_params=put_rep(state.critic_params),
+        actor_opt=put_rep(state.actor_opt),
+        critic_opt=put_rep(state.critic_opt),
+        norm=put_rep(state.norm),
         env_state=shard_env_pytree(state.env_state, mesh, num_envs),
         obs=shard_env_pytree(state.obs, mesh, num_envs),
-        key=jax.device_put(state.key, rep),
-        num_updates=jax.device_put(state.num_updates, rep),
+        key=put_rep(state.key),
+        num_updates=put_rep(state.num_updates),
+        initial_entropy=put_rep(state.initial_entropy),
     )

@@ -47,6 +47,16 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     args = ap.parse_args(argv)
 
+    # Pod-slice launches (deploy/launch_pod.sh sets GEOMRL_MULTIHOST=1, or
+    # explicit GEOMRL_COORDINATOR/NUM_PROCESSES/PROCESS_ID): wire the hosts
+    # into one SPMD runtime BEFORE any import creates a jnp constant and
+    # commits the backend to single-process mode (package root is lazy for
+    # exactly this reason).
+    from ..parallel.multihost import is_main_process, maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+    is_main = is_main_process()
+
     from ..config import load_config, trainer_from_config
     from .checkpoint import restore_checkpoint, save_checkpoint
     from .logging import MetricsLogger
@@ -54,11 +64,22 @@ def main(argv=None):
     cfg = load_config(args.config, parse_overrides(args.override))
     trainer = trainer_from_config(cfg)
 
-    run_name = f"{cfg['task']}_{cfg['model']}_{cfg['algo']}_{datetime.now().strftime('%y_%m_%d-%H_%M_%S')}"
+    stamp = datetime.now().strftime("%y_%m_%d-%H_%M_%S")
+    if jax.process_count() > 1:
+        # checkpoint saves are collective: every process must use the SAME
+        # run dir, so broadcast rank 0's timestamp (seconds can differ)
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        enc = _np.frombuffer(stamp.encode().ljust(32), dtype=_np.uint8)
+        enc = multihost_utils.broadcast_one_to_all(enc)
+        stamp = bytes(_np.asarray(enc)).decode().strip()
+    run_name = f"{cfg['task']}_{cfg['model']}_{cfg['algo']}_{stamp}"
     log_dir = os.path.join(cfg["logger"]["log_dir"], run_name)
     ckpt_dir = os.path.join(log_dir, "checkpoints")
-    logger = MetricsLogger(log_dir, use_wandb=cfg["logger"].get("wandb", False))
-    logger.log_hparams(cfg)
+    logger = MetricsLogger(log_dir, use_wandb=cfg["logger"].get("wandb", False)) if is_main else None
+    if logger:
+        logger.log_hparams(cfg)
 
     state = trainer.init(jax.random.PRNGKey(cfg["seed"]))
     papi_state = trainer.papi_init(state) if trainer.cfg.papi_steps else None
@@ -88,7 +109,52 @@ def main(argv=None):
     best_reward = -float("inf")
     frames_per_batch = trainer.cfg.steps_per_batch * trainer.env.cfg.num_envs
 
+    # Data-parallel over every device (all chips of this host, or of the whole
+    # pod slice under multihost): shard the env axis, replicate params; XLA
+    # inserts the gradient psums. "auto" engages whenever the env count
+    # divides over >1 device; set parallel.data_parallel=false to pin one chip.
+    import contextlib
+
+    mesh_ctx = contextlib.nullcontext()
+    num_envs = trainer.env.cfg.num_envs
+    dp = cfg.get("parallel", {}).get("data_parallel", "auto")
+    n_dev = jax.device_count()
+    if dp != False and n_dev > 1 and num_envs % n_dev == 0:  # noqa: E712
+        from ..parallel import make_mesh, replicate_pytree, shard_train_state
+
+        mesh = make_mesh()
+        state = shard_train_state(state, mesh, num_envs)
+        if papi_state is not None:
+            papi_state = replicate_pytree(papi_state, mesh)
+        mesh_ctx = mesh
+        if is_main:
+            print(f"data-parallel: env axis {num_envs} sharded over {n_dev} devices")
+    elif dp == True and n_dev > 1:  # noqa: E712
+        raise ValueError(
+            f"parallel.data_parallel=true but env.num_envs={num_envs} does not "
+            f"divide over {n_dev} devices"
+        )
+
     start = time.time()
+    with mesh_ctx:
+        train_loop(
+            trainer, state, papi_state, logger, start_iter, total_iterations,
+            save_interval, save_best, best_reward, frames_per_batch,
+            ckpt_dir, log_dir, is_main,
+        )
+    if is_main:
+        print(f"Training took {time.time() - start:.1f}s")
+    if logger:
+        logger.close()
+
+
+def train_loop(
+    trainer, state, papi_state, logger, start_iter, total_iterations,
+    save_interval, save_best, best_reward, frames_per_batch,
+    ckpt_dir, log_dir, is_main,
+):
+    from .checkpoint import save_checkpoint
+
     for i in range(start_iter, total_iterations):
         t0 = time.time()
         if papi_state is not None:
@@ -98,15 +164,17 @@ def main(argv=None):
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["train/iteration_time"] = time.time() - t0
         metrics["train/frames"] = (i + 1) * frames_per_batch
-        logger.log(i, metrics)
+        if logger:
+            logger.log(i, metrics)
 
         reward = metrics.get("train/reward", float("nan"))
-        print(
-            f"iter {i}/{total_iterations} reward={reward:.3f} "
-            f"kl={metrics.get('kl', 0):.4f} ESS={metrics.get('ESS', 0):.3f} "
-            f"({metrics['train/iteration_time']:.1f}s)",
-            flush=True,
-        )
+        if is_main:
+            print(
+                f"iter {i}/{total_iterations} reward={reward:.3f} "
+                f"kl={metrics.get('kl', 0):.4f} ESS={metrics.get('ESS', 0):.3f} "
+                f"({metrics['train/iteration_time']:.1f}s)",
+                flush=True,
+            )
         if save_interval > 0 and i % save_interval == 0:
             save_checkpoint(ckpt_dir, i, state, metrics={"reward": reward})
             if papi_state is not None:
@@ -118,8 +186,6 @@ def main(argv=None):
     save_checkpoint(ckpt_dir, total_iterations - 1, state)
     if papi_state is not None:
         save_checkpoint(ckpt_dir + "_papi", total_iterations - 1, papi_state)
-    print(f"Training took {time.time() - start:.1f}s")
-    logger.close()
 
 
 if __name__ == "__main__":
