@@ -12,6 +12,10 @@ ZONE="${2:?zone}"
 CONFIG="${3:?config}"
 shift 3 || true
 
+# NOTE: point logger.log_dir at a SHARED filesystem (gs:// bucket or NFS) —
+# checkpoint saves are collective and every host writes its array shards
+# under the same run dir; local per-host paths would scatter the checkpoint.
+#
 # GEOMRL_MULTIHOST=1 makes the CLI call jax.distributed.initialize() (topology
 # auto-discovered from TPU metadata) so all hosts form ONE SPMD program: the
 # env axis shards over the slice's global mesh (parallel/multihost.py), rank 0

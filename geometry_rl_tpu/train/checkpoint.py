@@ -31,9 +31,16 @@ def save_checkpoint(directory: str, step: int, state: Any, metrics: Optional[dic
     mgr.close()
 
 
-def restore_checkpoint(directory: str, state: Any, step: Optional[int] = None) -> Any:
+def restore_checkpoint(
+    directory: str, state: Any, step: Optional[int] = None, fields: Optional[tuple] = None
+) -> Any:
     """Restore into the structure of `state` (an abstract/template TrainState
     from `trainer.init`).
+
+    `fields`: restore only these TrainState fields, keeping the template's
+    value for the rest — used by play.py when evaluating with a different
+    env count than training (env-sized leaves like env_state/obs cannot be
+    restored into a reshaped template; params/normalizer are env-independent).
 
     Forward-compatible with checkpoints written before fields were added to
     TrainState: on a structure mismatch, each stored field is restored
@@ -43,6 +50,34 @@ def restore_checkpoint(directory: str, state: Any, step: Optional[int] = None) -
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"No checkpoint found in {directory}")
+    if fields is not None:
+        # Structure must match the stored tree, so restore every field —
+        # requested ones into the template's shapes, the rest at their STORED
+        # shapes (from checkpoint metadata; e.g. env-sized leaves whose env
+        # count differs from the template) and discard them.
+        meta_path = os.path.join(os.path.abspath(directory), str(step), "default")
+        meta = ocp.StandardCheckpointer().metadata(meta_path).item_metadata.tree
+        # concrete sharding required when the checkpoint was saved sharded
+        # (e.g. from a multi-device/multi-host run); the discarded fields are
+        # just read onto one device
+        one_dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def stored_sds(m):
+            return jax.tree_util.tree_map(
+                lambda v: jax.ShapeDtypeStruct(tuple(v.shape), v.dtype, sharding=one_dev), m
+            )
+
+        abstract_dict = {
+            f: (
+                jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, getattr(state, f))
+                if f in fields
+                else stored_sds(meta[f])
+            )
+            for f in state._fields
+        }
+        restored_dict = mgr.restore(step, args=ocp.args.StandardRestore(abstract_dict))
+        mgr.close()
+        return state._replace(**{f: restored_dict[f] for f in fields})
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))

@@ -39,10 +39,18 @@ def main(argv=None):
 
     with open(os.path.join(args.run_dir, "hparams.json")) as f:
         cfg = json.load(f)
+    trained_num_envs = cfg["env"]["num_envs"]
     if args.num_envs:
         cfg["env"]["num_envs"] = args.num_envs
     cfg = load_config(None, cfg)
     trainer = trainer_from_config(cfg)
+
+    # Evaluating with a different env count: env-sized leaves (env_state, obs)
+    # cannot restore into the reshaped template, and eval_rollout resets the
+    # env anyway — restore only the env-independent fields.
+    fields = None
+    if args.num_envs and args.num_envs != trained_num_envs:
+        fields = ("actor_params", "critic_params", "norm", "num_updates", "initial_entropy")
 
     template = trainer.init(jax.random.PRNGKey(0))
     ckpt_root = os.path.join(args.run_dir, args.checkpoint)
@@ -53,7 +61,7 @@ def main(argv=None):
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {ckpt_root}")
     for step in steps:
-        state = restore_checkpoint(ckpt_root, template, step)
+        state = restore_checkpoint(ckpt_root, template, step, fields=fields)
         ret = trainer.eval_rollout(state, n_steps=args.episodes_steps, deterministic=args.eval_type == "mode")
         results[str(step)] = float(ret)
         print(f"checkpoint {step}: mean episode reward {float(ret):.3f}", flush=True)

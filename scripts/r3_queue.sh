@@ -39,4 +39,24 @@ echo "[r3] learn-check pushing(material) rc=$?" >> "$LOG"
 # --- 4. bench refresh
 timeout 3600 python bench.py > docs/bench_r3.json 2>docs/bench_r3.err
 echo "[r3] bench rc=$?" >> "$LOG"
+# refresh the stale-fallback snapshot with the newest on-chip line
+python - <<'EOF'
+import json
+try:
+    with open("docs/bench_r3.json") as f:
+        rec = json.loads(f.read().strip().splitlines()[-1])
+    if not rec.get("stale") and rec.get("value", 0) > 0:
+        import datetime
+        rec["measured_at"] = datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%MZ")
+        rec["source"] = "docs/bench_r3.json (one v5e chip via axon tunnel)"
+        with open("docs/bench_last_good_tpu.json", "w") as f:
+            json.dump(rec, f, indent=1)
+except Exception as e:
+    print("snapshot refresh skipped:", e)
+EOF
+
+# --- 5. update-phase op profile refresh (post flattened-layout): where do the
+# 20.1 ms/grad-step go now? Feeds the round-3 MFU work (PLAN.md queue #2).
+timeout 2400 python scripts/profile_update2.py > docs/profile_update_r3.log 2>&1
+echo "[r3] profile_update2 rc=$?" >> "$LOG"
 echo "[r3] done $(date)" >> "$LOG"

@@ -47,3 +47,13 @@ def test_train_cli_then_play(tmp_path, monkeypatch):
     assert len(evals) >= 1
     for v in evals.values():
         assert v == v  # finite-ish (not NaN) — episodes complete at length 4
+
+    # eval with a DIFFERENT env count than training (the reference's play.py
+    # cfg-merge override): env-sized leaves can't restore into the reshaped
+    # template, so play partial-restores the env-independent fields
+    play.main(["--run-dir", str(run_dir), "--checkpoint", "checkpoints",
+               "--episodes-steps", "8", "--num-envs", "4"])
+    evals4 = json.load(open(run_dir / "eval.json"))
+    assert sorted(evals4) == sorted(evals)
+    for v in evals4.values():
+        assert v == v

@@ -75,6 +75,17 @@ def test_two_process_cli_matches_single_process(tmp_path):
     run_dir = os.path.dirname(sorted(glob.glob(os.path.join(mh_dir, "*", "metrics.jsonl")))[-1])
     assert glob.glob(os.path.join(run_dir, "checkpoints", "*")), "no checkpoint written"
 
+    # pod-train -> single-host eval: the collectively-saved checkpoint must
+    # restore and evaluate in ONE process (the real play.py workflow after a
+    # pod run; requires the shared-filesystem layout this test naturally has)
+    from geometry_rl_tpu.train.play import main as play_main
+
+    play_main(["--run-dir", run_dir, "--checkpoint", "checkpoints",
+               "--episodes-steps", "8", "--num-envs", "4"])
+    with open(os.path.join(run_dir, "eval.json")) as f:
+        ev = json.load(f)
+    assert all(v == v for v in ev.values() if isinstance(v, float)), ev
+
     # reference: same config, this process's 8 virtual devices (one process)
     from geometry_rl_tpu.train.cli import main
 
