@@ -219,7 +219,7 @@ def _stale_record(error: str) -> dict:
     """
     rec = {
         "metric": "rigid_insertion_hepi_collection_env_steps_per_sec",
-        "value": 0.0,
+        "value": 0.0,  # 0.0 = NO live measurement — the failure signal stays load-bearing
         "unit": "env-steps/sec",
         "vs_baseline": 0.0,
         "stale": True,
@@ -230,9 +230,10 @@ def _stale_record(error: str) -> dict:
                                  "docs", "bench_last_good_tpu.json")
         with open(snap_path) as f:
             snap = json.load(f)
-        rec.update({k: snap[k] for k in ("value", "vs_baseline", "extra") if k in snap})
-        rec["stale_measured_at"] = snap.get("measured_at")
-        rec["stale_source"] = snap.get("source")
+        rec["stale_last_good"] = {
+            k: snap[k] for k in ("value", "vs_baseline", "extra", "measured_at", "source")
+            if k in snap
+        }
     except Exception:
         pass
     return rec

@@ -51,12 +51,19 @@ def restore_checkpoint(
     if step is None:
         raise FileNotFoundError(f"No checkpoint found in {directory}")
     if fields is not None:
-        # Structure must match the stored tree, so restore every field —
-        # requested ones into the template's shapes, the rest at their STORED
-        # shapes (from checkpoint metadata; e.g. env-sized leaves whose env
-        # count differs from the template) and discard them.
+        # Structure must match the stored tree, so restore every STORED
+        # field — requested ones into the template's shapes, the rest at
+        # their STORED shapes (from checkpoint metadata; e.g. env-sized
+        # leaves whose env count differs from the template) and discard
+        # them. Requested fields absent from the checkpoint keep the
+        # template's value (same forward-compat promise as the fallback
+        # below). NOTE: `mgr.item_metadata(step)` returns None for a fresh
+        # manager here (no registered handlers), hence the explicit
+        # StandardCheckpointer metadata read of the manager's default
+        # item layout.
         meta_path = os.path.join(os.path.abspath(directory), str(step), "default")
-        meta = ocp.StandardCheckpointer().metadata(meta_path).item_metadata.tree
+        with ocp.StandardCheckpointer() as meta_ckptr:
+            meta = meta_ckptr.metadata(meta_path).item_metadata.tree
         # concrete sharding required when the checkpoint was saved sharded
         # (e.g. from a multi-device/multi-host run); the discarded fields are
         # just read onto one device
@@ -74,10 +81,11 @@ def restore_checkpoint(
                 else stored_sds(meta[f])
             )
             for f in state._fields
+            if f in meta
         }
         restored_dict = mgr.restore(step, args=ocp.args.StandardRestore(abstract_dict))
         mgr.close()
-        return state._replace(**{f: restored_dict[f] for f in fields})
+        return state._replace(**{f: restored_dict[f] for f in fields if f in restored_dict})
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))

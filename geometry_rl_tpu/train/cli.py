@@ -91,7 +91,8 @@ def main(argv=None):
         step = latest_step(load_dir)
         state = restore_checkpoint(load_dir, state, step)
         start_iter = (step or 0) + 1
-        print(f"Resumed from {load_dir} @ iteration {step}")
+        if is_main:
+            print(f"Resumed from {load_dir} @ iteration {step}")
         if papi_state is not None:
             # PAPI's cross-iteration carry (policy ring buffer, LR annealing)
             # is checkpointed beside the train state; without it a resumed
@@ -99,9 +100,11 @@ def main(argv=None):
             papi_dir = load_dir.rstrip("/") + "_papi"
             if latest_step(papi_dir) is not None:
                 papi_state = restore_checkpoint(papi_dir, papi_state)
-                print(f"Resumed PAPI state from {papi_dir}")
+                if is_main:
+                    print(f"Resumed PAPI state from {papi_dir}")
             else:
-                print(f"WARNING: no PAPI state at {papi_dir}; LR anneal/history reset")
+                if is_main:
+                    print(f"WARNING: no PAPI state at {papi_dir}; LR anneal/history reset")
 
     total_iterations = max(1, cfg["collector"]["total_frames"] // cfg["collector"]["frames_per_batch"])
     save_interval = cfg["logger"]["checkpoint"]["save_interval"]
@@ -133,6 +136,16 @@ def main(argv=None):
         raise ValueError(
             f"parallel.data_parallel=true but env.num_envs={num_envs} does not "
             f"divide over {n_dev} devices"
+        )
+    elif jax.process_count() > 1:
+        # Multihost without sharding is never valid: each process would train
+        # the full config independently and then collide in the collective
+        # checkpoint saves under the shared run dir.
+        raise ValueError(
+            f"multihost launch ({jax.process_count()} processes) requires the "
+            f"env axis to shard over the global mesh, but env.num_envs="
+            f"{num_envs} does not divide over {n_dev} devices "
+            f"(or parallel.data_parallel=false was set)"
         )
 
     start = time.time()

@@ -47,10 +47,14 @@ def main(argv=None):
 
     # Evaluating with a different env count: env-sized leaves (env_state, obs)
     # cannot restore into the reshaped template, and eval_rollout resets the
-    # env anyway — restore only the env-independent fields.
+    # env anyway — restore everything EXCEPT them (exclude-list, so future
+    # TrainState fields are restored by default instead of silently kept
+    # fresh-initialized).
     fields = None
     if args.num_envs and args.num_envs != trained_num_envs:
-        fields = ("actor_params", "critic_params", "norm", "num_updates", "initial_entropy")
+        from .ppo import TrainState
+
+        fields = tuple(f for f in TrainState._fields if f not in ("env_state", "obs"))
 
     template = trainer.init(jax.random.PRNGKey(0))
     ckpt_root = os.path.join(args.run_dir, args.checkpoint)

@@ -64,9 +64,17 @@ def test_two_process_cli_matches_single_process(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out.decode())
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out.decode())
+    finally:
+        # a wedged distributed init leaves the peer blocked in a collective —
+        # never orphan workers holding the coordinator port
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outs[i][-3000:]}"
 
