@@ -92,6 +92,13 @@ DEFAULTS: Dict[str, Any] = {
             "load_dir": None,
         },
     },
+    "parallel": {
+        # env-axis data parallelism over all visible devices (global mesh
+        # under a GEOMRL_MULTIHOST pod launch). "auto" = shard whenever the
+        # env count divides over >1 device; true = require it; false = pin
+        # one device.
+        "data_parallel": "auto",
+    },
 }
 
 
