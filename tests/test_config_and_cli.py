@@ -102,6 +102,37 @@ def test_checkpoint_roundtrip(tmp_path, small_trainer_state):
     assert int(restored.num_updates) == int(state1.num_updates)
 
 
+def test_multihost_requires_shardable_env_axis(tmp_path, monkeypatch):
+    """A pod launch whose env count can't shard must fail fast, not run N
+    duplicate trainings that collide in the collective checkpoint saves."""
+    import pytest
+
+    from geometry_rl_tpu.train import cli
+
+    monkeypatch.setattr(cli.jax, "process_count", lambda: 2)
+    # the run-name stamp broadcast also keys off process_count; make it a
+    # no-op since there is only one real process here
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", lambda x: x)
+    with pytest.raises(ValueError, match="multihost launch"):
+        cli.main(
+            [
+                "--config",
+                "rigid_insertion_multi_hepi_trpl",
+                "--override",
+                "env.num_envs=7",  # 7 % 8 devices != 0
+                "env.kwargs.warmup_steps=0",
+                "env.kwargs.episode_length=4",
+                "collector.frames_per_batch=14",
+                "collector.total_frames=14",
+                "algorithm.latent_dim=16",
+                "algorithm.num_ori=4",
+                f"logger.log_dir={tmp_path}",
+            ]
+        )
+
+
 def test_metrics_logger(tmp_path):
     logger = MetricsLogger(str(tmp_path))
     logger.log(0, {"train/reward": 1.5, "kl": jnp.asarray(0.1)})
