@@ -11,6 +11,12 @@ while true; do
     echo "[watch] port 8083 open $(date)" >> "$LOG"
     # Port open != backend healthy; require a real device list.
     if timeout 300 python -c "import jax; d=jax.devices(); assert d, d; print(d)" >> "$LOG" 2>&1; then
+      # free the single CPU: a concurrent CPU training starves the TPU
+      # client's dispatch loop (observed round 2)
+      if [ -f /tmp/cpu_entctl.pid ] && kill -0 "$(cat /tmp/cpu_entctl.pid)" 2>/dev/null; then
+        echo "[watch] stopping CPU entctl run $(cat /tmp/cpu_entctl.pid)" >> "$LOG"
+        kill "$(cat /tmp/cpu_entctl.pid)"
+      fi
       echo "[watch] TPU backend healthy $(date) — launching r3 queue" >> "$LOG"
       bash scripts/r3_queue.sh >> "$LOG" 2>&1
       echo "[watch] r3 queue finished rc=$? $(date)" >> "$LOG"
