@@ -59,6 +59,12 @@ DEFAULTS: Dict[str, Any] = {
             "normalize_advantage": True,
             "clip_grad_norm": False,
             "max_grad_norm": 1.0,
+            # adaptive KL-penalty PPO (algo: kl_ppo — configs/algorithm/
+            # objective/kl_ppo.yaml defaults; beta adapts toward dtarg)
+            "dtarg": 0.01,
+            "kl_beta": 1.0,
+            "kl_increment": 2.0,
+            "kl_decrement": 0.5,
             # PAPI post-update backtracking (proj_type=papi + non-contextual std)
             "papi_steps": False,
             "papi_history": 8,
@@ -181,6 +187,10 @@ def trainer_from_config(cfg: Dict):
         entropy_bonus=obj["entropy_bonus"],
         max_grad_norm=obj["max_grad_norm"],
         clip_grad_norm=obj["clip_grad_norm"],
+        dtarg=obj.get("dtarg", 0.01),
+        kl_beta=obj.get("kl_beta", 1.0),
+        kl_increment=obj.get("kl_increment", 2.0),
+        kl_decrement=obj.get("kl_decrement", 0.5),
         papi_steps=obj.get("papi_steps", False),
         papi_history=obj.get("papi_history", 8),
         papi_iters=obj.get("papi_iters", 20),

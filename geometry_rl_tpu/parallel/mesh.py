@@ -115,4 +115,5 @@ def shard_train_state(state: Any, mesh: Mesh, num_envs: int) -> Any:
         key=put_rep(state.key),
         num_updates=put_rep(state.num_updates),
         initial_entropy=put_rep(state.initial_entropy),
+        kl_beta=put_rep(state.kl_beta),  # scalar (or None for trpl/ppo)
     )

@@ -1,4 +1,5 @@
-"""On-policy losses: TRPL (trust-region projected) and clipped PPO.
+"""On-policy losses: TRPL (trust-region projected), clipped PPO, and
+adaptive KL-penalty PPO.
 
 Pure-functional redesign of
 `geometry_rl/algorithms/trust_region_projections/objectives/{trpl,ppo,utils}.py`.
@@ -131,6 +132,84 @@ def trpl_loss(
     # constraint metrics vs the projected dist (trpl.py:318: p vs proj_p)
     metrics.update(projection.compute_metrics(new_dist, proj_dist))
     return actor_loss, critic_loss, metrics
+
+
+def kl_pen_ppo_loss(
+    new_dist: DiagGaussian,
+    old_dist: DiagGaussian,
+    value: jnp.ndarray,
+    inputs: LossInputs,
+    beta: jnp.ndarray,
+    *,
+    dtarg: float = 0.01,
+    increment: float = 2.0,
+    decrement: float = 0.5,
+    entropy_coef: float = 0.0,
+    critic_coef: float = 1.0,
+    clip_value: float | None = None,
+    loss_critic_type: str = "l2",
+    normalize_advantage: bool = True,
+    entropy_bonus: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Adaptive KL-penalty PPO — the reference's third registered algorithm
+    family (`algorithm.name=kl_ppo`: configs/algorithm/kl_ppo.yaml +
+    objective/kl_ppo.yaml, wired in examples/torchrl/builders/agent.py:65-79
+    via torchrl's KLPENPPOLoss).
+
+    Surrogate = -(ratio * advantage) + beta * KL(old || new); after the loss
+    is formed, beta adapts for the NEXT step: *= `increment` when the batch
+    KL exceeds 1.5*dtarg, *= `decrement` when it falls below dtarg/1.5
+    (torchrl KLPENPPOLoss.forward semantics). The KL is the exact
+    diag-Gaussian closed form — the reference estimates it with
+    `samples_mc_kl` Monte-Carlo samples only because torchrl supports
+    arbitrary distributions; both dists here are diagonal Gaussians.
+
+    The critic loss is UNclipped by default: the reference's builder does not
+    wire clip_value into KLPENPPOLoss (agent.py:66-79), so torchrl's default
+    (no value clipping) applies. Returns (actor_loss, critic_loss, new_beta,
+    metrics).
+    """
+    advantage = inputs.advantage
+    if normalize_advantage:
+        advantage = _normalize_advantage(advantage)
+
+    log_prob = G.log_prob(new_dist, inputs.action)
+    log_weight = log_prob - inputs.sample_log_prob
+
+    gain = jnp.exp(log_weight) * advantage
+    kl_mean = G.kl(old_dist, new_dist).mean()
+    actor_loss = -gain.mean() + beta * kl_mean
+
+    entropy = G.entropy(new_dist)
+    if entropy_bonus:
+        actor_loss = actor_loss - entropy_coef * entropy.mean()
+
+    if clip_value is not None:
+        critic_per_sample, clip_fraction = clipped_value_loss(
+            inputs.old_value, value, inputs.value_target, clip_value, loss_critic_type
+        )
+    else:
+        critic_per_sample = _distance_loss(value, inputs.value_target, loss_critic_type)
+        clip_fraction = jnp.zeros(())
+    critic_loss = critic_coef * critic_per_sample.mean()
+
+    new_beta = jnp.where(
+        kl_mean > dtarg * 1.5,
+        beta * increment,
+        jnp.where(kl_mean < dtarg / 1.5, beta * decrement, beta),
+    )
+
+    metrics = {
+        "loss_objective": -gain.mean(),
+        "loss_entropy": -entropy_coef * entropy.mean() if entropy_bonus else jnp.zeros(()),
+        "loss_critic": critic_loss,
+        "entropy": entropy.mean(),
+        "ESS": _ess(log_weight),
+        "kl": kl_mean,
+        "kl_penalty_beta": beta,
+        "value_clip_fraction": clip_fraction,
+    }
+    return actor_loss, critic_loss, new_beta, metrics
 
 
 def ppo_clip_loss(

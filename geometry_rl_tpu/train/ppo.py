@@ -26,7 +26,7 @@ import optax
 from ..graphs.rigid import RigidGraphBuilder
 from ..rl import gaussian as G
 from ..rl.gae import gae
-from ..rl.losses import LossInputs, ppo_clip_loss, trpl_loss
+from ..rl.losses import LossInputs, kl_pen_ppo_loss, ppo_clip_loss, trpl_loss
 from ..rl.obs_pipeline import ObsNormState, obs_norm_apply, obs_norm_init, obs_norm_step
 from ..rl.projections import BaseProjection
 
@@ -35,7 +35,7 @@ from ..rl.projections import BaseProjection
 class TrainConfig:
     """Mirrors configs/algorithm/{trpl,ppo}.yaml + objective/optim groups."""
 
-    algo: str = "trpl"  # trpl | ppo
+    algo: str = "trpl"  # trpl | ppo | kl_ppo
     steps_per_batch: int = 100  # control steps per env per iteration
     ppo_epochs: int = 5
     mini_batch_size: int = 1000
@@ -54,6 +54,12 @@ class TrainConfig:
     entropy_bonus: bool = True
     max_grad_norm: float = 1.0
     clip_grad_norm: bool = False
+    # adaptive KL-penalty PPO (algo="kl_ppo"; configs/algorithm/objective/
+    # kl_ppo.yaml defaults)
+    dtarg: float = 0.01
+    kl_beta: float = 1.0
+    kl_increment: float = 2.0
+    kl_decrement: float = 0.5
     # PAPI post-update steps (papi_projection.py:151-245); requires
     # proj_type="papi" and a non-contextual-std policy with a Dense mean head
     papi_steps: bool = False
@@ -75,6 +81,9 @@ class TrainState(NamedTuple):
     num_updates: jnp.ndarray  # network update counter (annealing + proj step)
     initial_entropy: jnp.ndarray  # mean policy entropy at init (entropy schedule e0,
     # base_projection_layer initial_entropy — frozen after trainer.init)
+    kl_beta: Any = None  # adaptive KL-penalty coefficient (algo="kl_ppo" only;
+    # None — a leafless pytree node — for trpl/ppo, keeping their checkpoint
+    # structure unchanged)
 
 
 class Batch(NamedTuple):
@@ -164,6 +173,7 @@ class Trainer:
             key=k_rest,
             num_updates=jnp.zeros((), jnp.int32),
             initial_entropy=initial_entropy,
+            kl_beta=jnp.asarray(self.cfg.kl_beta, jnp.float32) if self.cfg.algo == "kl_ppo" else None,
         )
 
     # --------------------------------------------------------------- forward
@@ -239,7 +249,7 @@ class Trainer:
 
     # ---------------------------------------------------------------- update
 
-    def _minibatch_loss(self, actor_params, critic_params, mb, num_updates, initial_entropy=None):
+    def _minibatch_loss(self, actor_params, critic_params, mb, num_updates, initial_entropy=None, kl_beta=None):
         cfg = self.cfg
         # training-noise augmentation (base_data training_noise): fresh draw
         # per network update, applied only on training forwards
@@ -275,6 +285,24 @@ class Trainer:
                 normalize_advantage=cfg.normalize_advantage,
                 entropy_bonus=cfg.entropy_bonus,
             )
+        elif cfg.algo == "kl_ppo":
+            old_dist = G.DiagGaussian(mb["mean"], mb["std"])
+            actor_loss, critic_loss, new_beta, metrics = kl_pen_ppo_loss(
+                dist,
+                old_dist,
+                value,
+                inputs,
+                kl_beta,
+                dtarg=cfg.dtarg,
+                increment=cfg.kl_increment,
+                decrement=cfg.kl_decrement,
+                entropy_coef=cfg.entropy_coef,
+                critic_coef=cfg.critic_coef,
+                loss_critic_type=cfg.loss_critic_type,
+                normalize_advantage=cfg.normalize_advantage,
+                entropy_bonus=cfg.entropy_bonus,
+            )
+            return actor_loss + critic_loss, (metrics, new_beta)
         else:
             clip_eps = cfg.clip_epsilon
             if cfg.anneal_clip_epsilon:
@@ -292,7 +320,7 @@ class Trainer:
                 normalize_advantage=cfg.normalize_advantage,
                 entropy_bonus=cfg.entropy_bonus,
             )
-        return actor_loss + critic_loss, metrics
+        return actor_loss + critic_loss, (metrics, kl_beta)
 
     def _update(
         self, state: TrainState, batch: Batch, lr_scale: Optional[jnp.ndarray] = None
@@ -332,15 +360,15 @@ class Trainer:
         grad_fn = jax.grad(self._minibatch_loss, argnums=(0, 1), has_aux=True)
 
         def epoch_fn(carry, _):
-            actor_params, critic_params, actor_opt, critic_opt, key, num_updates = carry
+            actor_params, critic_params, actor_opt, critic_opt, key, num_updates, kl_beta = carry
             key, k_perm = jax.random.split(key)
             perm = jax.random.permutation(k_perm, N)[: n_mb * mb_size].reshape(n_mb, mb_size)
 
             def mb_fn(carry, idx):
-                actor_params, critic_params, actor_opt, critic_opt, num_updates = carry
+                actor_params, critic_params, actor_opt, critic_opt, num_updates, kl_beta = carry
                 mb = jax.tree_util.tree_map(lambda x: x[idx], data)
-                (g_actor, g_critic), metrics = grad_fn(
-                    actor_params, critic_params, mb, num_updates, state.initial_entropy
+                (g_actor, g_critic), (metrics, kl_beta) = grad_fn(
+                    actor_params, critic_params, mb, num_updates, state.initial_entropy, kl_beta
                 )
                 a_up, actor_opt = self.actor_tx.update(g_actor, actor_opt, actor_params)
                 c_up, critic_opt = self.critic_tx.update(g_critic, critic_opt, critic_params)
@@ -351,13 +379,13 @@ class Trainer:
                     c_up = jax.tree_util.tree_map(lambda u: u * lr_scale, c_up)
                 actor_params = optax.apply_updates(actor_params, a_up)
                 critic_params = optax.apply_updates(critic_params, c_up)
-                return (actor_params, critic_params, actor_opt, critic_opt, num_updates + 1), metrics
+                return (actor_params, critic_params, actor_opt, critic_opt, num_updates + 1, kl_beta), metrics
 
-            (actor_params, critic_params, actor_opt, critic_opt, num_updates), metrics = jax.lax.scan(
-                mb_fn, (actor_params, critic_params, actor_opt, critic_opt, num_updates), perm,
+            (actor_params, critic_params, actor_opt, critic_opt, num_updates, kl_beta), metrics = jax.lax.scan(
+                mb_fn, (actor_params, critic_params, actor_opt, critic_opt, num_updates, kl_beta), perm,
                 unroll=2,
             )
-            return (actor_params, critic_params, actor_opt, critic_opt, key, num_updates), metrics
+            return (actor_params, critic_params, actor_opt, critic_opt, key, num_updates, kl_beta), metrics
 
         carry0 = (
             state.actor_params,
@@ -366,8 +394,9 @@ class Trainer:
             state.critic_opt,
             state.key,
             state.num_updates,
+            state.kl_beta,
         )
-        (actor_params, critic_params, actor_opt, critic_opt, key, num_updates), metrics = jax.lax.scan(
+        (actor_params, critic_params, actor_opt, critic_opt, key, num_updates, kl_beta), metrics = jax.lax.scan(
             epoch_fn, carry0, None, length=cfg.ppo_epochs
         )
         metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
@@ -383,6 +412,7 @@ class Trainer:
             critic_opt=critic_opt,
             key=key,
             num_updates=num_updates,
+            kl_beta=kl_beta,
         )
         return new_state, metrics
 

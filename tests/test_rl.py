@@ -7,7 +7,13 @@ import pytest
 
 from geometry_rl_tpu.rl import gaussian as G
 from geometry_rl_tpu.rl.gae import gae
-from geometry_rl_tpu.rl.losses import LossInputs, clipped_value_loss, ppo_clip_loss, trpl_loss
+from geometry_rl_tpu.rl.losses import (
+    LossInputs,
+    clipped_value_loss,
+    kl_pen_ppo_loss,
+    ppo_clip_loss,
+    trpl_loss,
+)
 from geometry_rl_tpu.rl.normalizer import (
     minmax_init,
     minmax_normalize,
@@ -225,3 +231,77 @@ def test_ppo_clip_reduces_gain():
     )
     _, _, metrics = ppo_clip_loss(dist, jnp.zeros((4,)), inputs, normalize_advantage=False)
     assert float(metrics["clip_fraction"]) == 1.0
+
+
+def test_kl_pen_ppo_loss_basic(loss_data):
+    """kl_ppo (torchrl KLPENPPOLoss semantics): finite losses, exact KL metric."""
+    new_dist, old_dist, value, inputs = loss_data
+    beta = jnp.ones(())
+    actor_loss, critic_loss, new_beta, metrics = kl_pen_ppo_loss(
+        new_dist, old_dist, value, inputs, beta
+    )
+    assert np.isfinite(float(actor_loss)) and np.isfinite(float(critic_loss))
+    assert float(metrics["kl"]) >= 0.0
+    assert float(metrics["kl_penalty_beta"]) == 1.0
+    # exact closed form, matches G.kl directly
+    np.testing.assert_allclose(float(metrics["kl"]), float(G.kl(old_dist, new_dist).mean()), rtol=1e-6)
+
+
+def test_kl_pen_beta_adapts():
+    """beta *= increment above 1.5*dtarg, *= decrement below dtarg/1.5,
+    unchanged inside the band (KLPENPPOLoss.forward)."""
+    n, d = 16, 3
+    mean = jnp.zeros((n, d))
+    std = jnp.ones((n, d))
+    old = G.DiagGaussian(mean, std)
+    action = jnp.zeros((n, d))
+    inputs = LossInputs(
+        action=action,
+        sample_log_prob=G.log_prob(old, action),
+        advantage=jnp.ones((n,)),
+        value_target=jnp.zeros((n,)),
+        old_value=jnp.zeros((n,)),
+    )
+    value = jnp.zeros((n,))
+    beta = jnp.asarray(2.0)
+
+    # far-away new dist -> KL huge -> beta doubles
+    far = G.DiagGaussian(mean + 3.0, std)
+    _, _, b_up, _ = kl_pen_ppo_loss(far, old, value, inputs, beta, dtarg=0.01)
+    assert float(b_up) == 4.0
+    # identical dists -> KL 0 < dtarg/1.5 -> beta halves
+    _, _, b_dn, _ = kl_pen_ppo_loss(old, old, value, inputs, beta, dtarg=0.01)
+    assert float(b_dn) == 1.0
+    # in-band KL -> unchanged. KL per dim = 0.5*delta^2; pick delta so
+    # mean KL ~ dtarg exactly: KL = 0.5 * 3 * delta^2 = 0.01 -> delta=0.0816
+    mid = G.DiagGaussian(mean + 0.0816, std)
+    _, _, b_mid, m = kl_pen_ppo_loss(mid, old, value, inputs, beta, dtarg=0.01)
+    assert 0.01 / 1.5 < float(m["kl"]) < 0.015
+    assert float(b_mid) == 2.0
+
+
+def test_kl_pen_penalty_direction():
+    """The beta*KL term must penalize moving away from the old policy:
+    grad of the actor loss w.r.t. the new mean grows with beta."""
+    n, d = 8, 2
+    old = G.DiagGaussian(jnp.zeros((n, d)), jnp.ones((n, d)))
+    action = jnp.zeros((n, d))
+    inputs = LossInputs(
+        action=action,
+        sample_log_prob=G.log_prob(old, action),
+        advantage=jnp.zeros((n,)),  # isolate the KL term
+        value_target=jnp.zeros((n,)),
+        old_value=jnp.zeros((n,)),
+    )
+
+    def actor(mean_shift, beta):
+        new = G.DiagGaussian(jnp.full((n, d), mean_shift), jnp.ones((n, d)))
+        a, _, _, _ = kl_pen_ppo_loss(
+            new, old, jnp.zeros((n,)), inputs, jnp.asarray(beta), normalize_advantage=False
+        )
+        return a
+
+    g1 = float(jax.grad(actor)(0.5, 1.0))
+    g4 = float(jax.grad(actor)(0.5, 4.0))
+    assert g1 > 0  # pushes back toward the old mean
+    assert abs(g4 / g1 - 4.0) < 1e-4  # scales linearly with beta

@@ -88,6 +88,29 @@ def test_ppo_algo_variant():
     assert np.isfinite(float(metrics["loss_objective"]))
 
 
+def test_kl_ppo_algo_variant():
+    """algo=kl_ppo (adaptive KL-penalty PPO, configs/algorithm/kl_ppo.yaml):
+    trains one iteration, carries the adapting beta in TrainState."""
+    t = build_agent(
+        task="rigid_pushing",
+        model="transformer",
+        num_envs=4,
+        algo="kl_ppo",
+        latent_dim=16,
+        train_cfg=TrainConfig(algo="kl_ppo", steps_per_batch=4, ppo_epochs=2, mini_batch_size=8),
+        env_kwargs={"episode_length": 8},
+    )
+    state = t.init(jax.random.PRNGKey(0))
+    assert float(state.kl_beta) == 1.0
+    state, metrics = t.train_iteration(state)
+    assert np.isfinite(float(metrics["loss_objective"]))
+    assert np.isfinite(float(metrics["kl"]))
+    assert float(state.kl_beta) > 0  # adapted (or unchanged), still positive
+    # second iteration reuses the carried beta without retracing issues
+    state, metrics = t.train_iteration(state)
+    assert np.isfinite(float(metrics["kl_penalty_beta"]))
+
+
 @pytest.mark.parametrize("task,model", [("rigid_sliding", "hepi"), ("rigid_insertion_two_agents", "hepi"), ("rope_shaping", "hepi"), ("rigid_insertion", "empn"), ("rigid_insertion", "gcn"), ("rigid_insertion", "meshgraphnet"), ("rigid_pushing", "mlp"), ("cloth_hanging", "mlp")])
 def test_all_tasks_and_models_train(task, model):
     """Every registered task x a spread of models completes a TRPL iteration."""
