@@ -18,23 +18,21 @@ echo "[r3] start $(date)" >> "$LOG"
 bash scripts/r2_two_agents_entctl.sh
 echo "[r3] entctl done rc=$? $(date)" >> "$LOG"
 
-# --- 2. material robustness evals on existing flagship checkpoints
-PUSH_RUN=$(ls -d logs/r2_pushing/* | tail -1)
-timeout 1800 python scripts/eval_breakdown.py --run-dir "$PUSH_RUN" \
-  --override env.kwargs.dynamic_friction_scale=1.0 \
-  --out docs/eval_material_pushing_r3.json >> "$LOG" 2>&1
-echo "[r3] eval pushing(material) rc=$?" >> "$LOG"
-timeout 1800 python scripts/eval_breakdown.py --run-dir logs/r3_sliding \
-  --override env.kwargs.dynamic_friction_scale=1.0 \
-  --out docs/eval_material_sliding_r3.json >> "$LOG" 2>&1
-echo "[r3] eval sliding(material) rc=$?" >> "$LOG"
-
-# --- 3. material-on learn-check (pushing exercises the body-pair pass)
+# --- 2. material-on learn-checks (the machine was reset between sessions:
+# the round-2 flagship checkpoints in logs/ are gone, so instead of evaluating
+# old policies under the velocity-pass material we train short from-scratch
+# learn-checks WITH the material enabled — this exercises the body-pair pass
+# end-to-end, which is the point of PLAN.md queue #4)
 timeout 7200 python scripts/learn_check.py --task rigid_pushing --model hepi \
   --num-envs 512 --iterations 40 --env-kw dynamic_friction_scale=1.0 \
   --out docs/learn_material_pushing_r3.json \
   > docs/learn_material_pushing_r3.log 2>&1
 echo "[r3] learn-check pushing(material) rc=$?" >> "$LOG"
+timeout 7200 python scripts/learn_check.py --task rigid_sliding --model hepi \
+  --num-envs 512 --iterations 40 --env-kw dynamic_friction_scale=1.0 \
+  --out docs/learn_material_sliding_r3.json \
+  > docs/learn_material_sliding_r3.log 2>&1
+echo "[r3] learn-check sliding(material) rc=$?" >> "$LOG"
 
 # --- 4. bench refresh
 timeout 3600 python bench.py > docs/bench_r3.json 2>docs/bench_r3.err
