@@ -92,7 +92,10 @@ def main():
         "success_rate": round(float((final_d < args.threshold).mean()), 4),
     }
     print(json.dumps({"overall": overall, "per_shape": report}, indent=2))
-    out = os.path.join(args.run_dir, args.out)
+    # Paths with a directory component are taken as given (relative to cwd);
+    # bare filenames land inside the run dir.
+    out = args.out if os.sep in args.out else os.path.join(args.run_dir, args.out)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump({"overall": overall, "per_shape": report}, f, indent=2)
     print("wrote", out)

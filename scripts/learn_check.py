@@ -62,10 +62,12 @@ def main():
                 {
                     "iter": i,
                     "reward": round(reward, 4),
-                    "kl": round(float(metrics["kl"]), 6),
-                    "ESS": round(float(metrics["ESS"]), 4),
-                    "entropy": round(float(metrics["entropy"]), 4),
-                    "loss_critic": round(float(metrics["loss_critic"]), 4),
+                    # pure-PPO emits no trust-region KL metric
+                    **{
+                        k: round(float(metrics[k]), 6)
+                        for k in ("kl", "ESS", "entropy", "loss_critic", "beta")
+                        if k in metrics
+                    },
                     "explained_var": round(float(metrics["train/explained_variance"]), 4),
                     "it_time": round(time.time() - it_t, 2),
                 }
