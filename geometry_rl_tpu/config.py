@@ -43,6 +43,12 @@ DEFAULTS: Dict[str, Any] = {
         "policy": {
             "contextual_std": True,
             "share_action_dim": True,
+            "init_std": 1.0,  # configs/algorithm/policy/default.yaml:9
+            "minimal_std": 1e-5,
+            # smooth per-dim std cap (models/policy.make_std_fn). None = exact
+            # reference parametrization; set (e.g. 1.0 = the action clamp) to
+            # prevent per-dim std collapse/inflation under TRPL entropy bounds.
+            "max_std": None,
         },
         "objective": {
             "ppo_epochs": 5,
@@ -220,6 +226,9 @@ def trainer_from_config(cfg: Dict):
         train_cfg=train_cfg,
         contextual_std=cfg["algorithm"]["policy"].get("contextual_std", True),
         share_action_dim=cfg["algorithm"]["policy"].get("share_action_dim", True),
+        init_std=cfg["algorithm"]["policy"].get("init_std", 1.0),
+        minimal_std=cfg["algorithm"]["policy"].get("minimal_std", 1e-5),
+        max_std=cfg["algorithm"]["policy"].get("max_std", None),
         env_kwargs=cfg["env"].get("kwargs") or {},
         training_noise=cfg["algorithm"].get("training_noise", False),
         training_noise_std=cfg["algorithm"].get("training_noise_std", 1e-2),

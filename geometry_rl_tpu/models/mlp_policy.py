@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..rl.gaussian import DiagGaussian
 from .common import ACTIVATIONS
-from .policy import inverse_softplus
+from .policy import make_std_fn
 
 
 class MLPGaussianPolicy(nn.Module):
@@ -28,6 +28,7 @@ class MLPGaussianPolicy(nn.Module):
     contextual_std: bool = True
     init_std: float = 1.0
     minimal_std: float = 1e-5
+    max_std: float | None = None  # smooth per-dim std cap (policy.make_std_fn)
     head_init: Callable = nn.initializers.orthogonal(scale=0.01)
 
     @nn.compact
@@ -38,13 +39,12 @@ class MLPGaussianPolicy(nn.Module):
         for i, d in enumerate(self.hidden_dims):
             h = act(nn.Dense(d, name=f"dense_{i}")(h))
         mean = nn.Dense(self.action_dim, kernel_init=self.head_init, name="mean")(h)
-        shift = inverse_softplus(self.init_std - self.minimal_std)
         if self.contextual_std:
             pre = nn.Dense(self.action_dim, kernel_init=self.head_init, name="pre_std")(h)
         else:
             pre = self.param("pre_std", nn.initializers.normal(0.01), (self.action_dim,))
             pre = jnp.broadcast_to(pre, mean.shape)
-        std = nn.softplus(pre + shift) + self.minimal_std
+        std = make_std_fn(self.init_std, self.minimal_std, self.max_std)(pre)
         return DiagGaussian(mean, std)
 
 

@@ -35,6 +35,43 @@ def inverse_softplus(x: float) -> float:
     return math.log(math.expm1(x)) if x < 20.0 else x
 
 
+def make_std_fn(init_std: float, minimal_std: float, max_std=None) -> Callable:
+    """Std-head activation `pre -> std`.
+
+    max_std=None reproduces the reference parametrization exactly:
+    std = softplus(pre + shift) + minimal_std with
+    shift = softplus^-1(init_std - minimal_std)
+    (abstract_gaussian_policy._get_preactivation_shift).
+
+    max_std=<float> smoothly caps the per-dim std in (minimal_std, max_std):
+    std = minimal_std + span * tanh(softplus(pre + shift') / span). This is a
+    measured improvement over the reference, not a port: per-dim std extremes
+    are the root cause of the two-agents TRPL instability (the entropy bound
+    constrains only the TOTAL entropy, so reward-irrelevant dims absorb the
+    entropy budget with sigma >> the env's +-1 action clamp while critical
+    dims collapse, making the mean-KL 1/sigma^2-stiff —
+    docs/diag_two_agents_spike.json). shift' preserves std(0) == init_std
+    exactly.
+    """
+    if max_std is None:
+        shift = inverse_softplus(init_std - minimal_std)
+
+        def std_fn(pre):
+            return nn.softplus(pre + shift) + minimal_std
+
+        return std_fn
+
+    if not (minimal_std < init_std < max_std):
+        raise ValueError(f"need minimal_std < init_std < max_std, got {minimal_std}, {init_std}, {max_std}")
+    span = max_std - minimal_std
+    shift = inverse_softplus(span * math.atanh((init_std - minimal_std) / span))
+
+    def std_fn(pre):
+        return span * jnp.tanh(nn.softplus(pre + shift) / span) + minimal_std
+
+    return std_fn
+
+
 class DiagGaussianPolicy(nn.Module):
     backbone: nn.Module
     action_dim: int  # TOTAL action dimension
@@ -45,6 +82,7 @@ class DiagGaussianPolicy(nn.Module):
     post_fc: bool = True
     init_std: float = 1.0
     minimal_std: float = 1e-5
+    max_std: float | None = None  # smooth per-dim std cap (see make_std_fn)
     use_tanh_mean: bool = False
     head_init: Callable = nn.initializers.orthogonal(scale=0.01)
 
@@ -54,10 +92,7 @@ class DiagGaussianPolicy(nn.Module):
         out, hidden = out  # (vector_out, latent) — all backbones return both
         B = hidden.shape[0]
         G = hidden.shape[1]
-        shift = inverse_softplus(self.init_std - self.minimal_std)
-
-        def std_from_pre(pre):
-            return nn.softplus(pre + shift) + self.minimal_std
+        std_from_pre = make_std_fn(self.init_std, self.minimal_std, self.max_std)
 
         if self.per_actuator_heads:
             a_dim = self.action_dim // self.num_actuators

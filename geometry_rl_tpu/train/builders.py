@@ -58,6 +58,11 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
     cfg = env.cfg
     contextual_std = model_kw.pop("contextual_std", True)
     share_action_dim = model_kw.pop("share_action_dim", True)
+    std_kw = {
+        "init_std": model_kw.pop("init_std", 1.0),
+        "minimal_std": model_kw.pop("minimal_std", 1e-5),
+        "max_std": model_kw.pop("max_std", None),
+    }
     if model_name.lower() in FLAT_MODELS:
         # flat MLP Gaussian policy over the concatenated normalized obs
         # (utils_algo.py _make_trpl_probabilistic_actor)
@@ -66,6 +71,7 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
             action_dim=cfg.action_dim,
             hidden_dims=(latent_dim * 4, latent_dim * 4),
             contextual_std=contextual_std,
+            **std_kw,
             **model_kw,
         )
     equivariant = model_name.lower() in EQUIVARIANT_MODELS
@@ -92,6 +98,7 @@ def build_policy(model_name: str, env, latent_dim: int = 64, num_ori: int = 16, 
         share_action_dim=share_action_dim,
         contextual_std=contextual_std,
         post_fc=post_fc,
+        **std_kw,
     )
 
 

@@ -46,7 +46,19 @@ def test_train_cli_then_play(tmp_path, monkeypatch):
     evals = json.load(open(run_dir / "eval.json"))
     assert len(evals) >= 1
     for v in evals.values():
-        assert v == v  # finite-ish (not NaN) — episodes complete at length 4
+        assert v["reward"] == v["reward"]  # finite-ish (not NaN) — episodes complete at length 4
+
+    # checkpoint-sweep eval (reference play.py:225-230): EVERY interval save
+    # plus the best checkpoint in one eval.json curve, with success rate
+    play.main(["--run-dir", str(run_dir), "--all-checkpoints",
+               "--episodes-steps", "8", "--success-threshold", "0.1"])
+    sweep = json.load(open(run_dir / "eval.json"))
+    # 3 iterations at save_interval=1 -> >= 2 interval checkpoints, plus best/*
+    assert sum(1 for k in sweep if not k.startswith("best/")) >= 2
+    assert any(k.startswith("best/") for k in sweep)
+    for v in sweep.values():
+        assert "reward" in v
+        assert 0.0 <= v["success_rate"] <= 1.0  # rigid insertion exposes distance
 
     # eval with a DIFFERENT env count than training (the reference's play.py
     # cfg-merge override): env-sized leaves can't restore into the reshaped

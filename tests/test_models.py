@@ -274,6 +274,45 @@ def test_policy_init_std():
     np.testing.assert_allclose(np.asarray(dist.std), 1.0, atol=0.2)
 
 
+def test_make_std_fn():
+    """Std-head activation: max_std=None is the exact reference
+    parametrization; max_std=<float> smoothly caps per-dim std (the
+    two-agents TRPL stability fix, docs/diag_two_agents_spike.json)."""
+    from geometry_rl_tpu.models.policy import make_std_fn
+
+    f = make_std_fn(1.0, 1e-5, None)
+    np.testing.assert_allclose(float(f(jnp.zeros(1))[0]), 1.0, atol=1e-6)
+    g = make_std_fn(1.0, 1e-5, 2.0)
+    # std(0) == init_std preserved exactly; range (minimal_std, max_std)
+    np.testing.assert_allclose(float(g(jnp.zeros(1))[0]), 1.0, atol=1e-5)
+    assert float(g(jnp.full((1,), 50.0))[0]) <= 2.0 + 1e-6
+    assert float(g(jnp.full((1,), -50.0))[0]) >= 1e-5 - 1e-12
+    # monotone, differentiable at 0
+    assert float(jax.grad(lambda p: g(p[None])[0])(0.0)) > 0
+    # invalid ordering rejected (init_std must sit strictly inside the cap)
+    with pytest.raises(ValueError):
+        make_std_fn(1.0, 1e-5, 1.0)
+
+
+def test_policy_max_std_cap():
+    """DiagGaussianPolicy(max_std=...) bounds every per-dim std."""
+    rng = np.random.default_rng(5)
+    graph, feats = make_toy_graph(rng)
+    policy = DiagGaussianPolicy(
+        backbone=HEPi(latent_dim=16, hidden_dim=16, output_dim=2, output_dim_vec=2, num_ori=4),
+        action_dim=6,
+        post_fc=False,
+        contextual_std=True,
+        init_std=1.0,
+        max_std=2.0,
+    )
+    params = policy.init(jax.random.PRNGKey(0), graph, feats)
+    dist = policy.apply(params, graph, feats)
+    s = np.asarray(dist.std)
+    assert (s > 0).all() and (s <= 2.0).all()
+    np.testing.assert_allclose(s, 1.0, atol=0.2)  # near init_std at init
+
+
 def test_policy_two_agents():
     rng = np.random.default_rng(3)
     graph, feats = make_toy_graph(rng, num_grippers=2)
