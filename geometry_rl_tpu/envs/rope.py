@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
@@ -72,6 +73,64 @@ def w_shape_curve(num_points: int, length: float, z: float = 0.1) -> np.ndarray:
     pts *= length / total
     pts -= pts.mean(0)  # center
     out = np.concatenate([pts, np.full((num_points, 1), z)], axis=1)
+    return out.astype(np.float32)
+
+
+def load_target_curve(path: str, num_links: int, rope_length: float, z: float = 0.1) -> np.ndarray:
+    """Load a shaping target polyline from a file, reproducing the reference's
+    LASA pipeline EXACTLY (rope_tasks/mdp/observations.py:26-60): index-space
+    linear interpolation of the raw 2D trace to `num_links` points, scaled so
+    the total polyline length equals `rope_length`, with constant z appended.
+
+    Supported formats:
+      - `.mat`  — a pyLasaDataset shape file (e.g. WShape.mat): demo 0's `pos`
+                  [2, T] trace is used, exactly as the reference's
+                  `lasa.DataSet.WShape.demos[0].pos`.
+      - `.npy` / `.npz` (first array) / `.csv` / `.json` — a [2, T] or [T, 2]
+                  (or [T, 3]; z column ignored) polyline.
+
+    The actual LASA dataset cannot be vendored in this environment (zero
+    egress, not on disk) — this loader makes the env accept the real data
+    byte-for-byte when available; `w_shape_curve` is the documented
+    procedural fallback."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".mat":
+        import scipy.io
+
+        mat = scipy.io.loadmat(path)
+        demo0 = mat["demos"][0, 0]
+        # pyLasaDataset layout: demos is a [1, D] cell of structs with field
+        # 'pos' [2, T]; loadmat exposes struct fields by name
+        pos = np.asarray(demo0["pos"][0, 0] if demo0.dtype.names else demo0, dtype=np.float64)
+    else:
+        if ext == ".npy":
+            pos = np.load(path)
+        elif ext == ".npz":
+            data = np.load(path)
+            pos = data[list(data.keys())[0]]
+        elif ext == ".json":
+            import json
+
+            with open(path) as f:
+                pos = np.asarray(json.load(f), dtype=np.float64)
+        else:  # csv / txt
+            pos = np.loadtxt(path, delimiter=",")
+        pos = np.asarray(pos, dtype=np.float64)
+        if pos.ndim != 2:
+            raise ValueError(f"target curve must be 2D, got shape {pos.shape}")
+        if pos.shape[0] not in (2, 3):  # [T, 2] / [T, 3] -> [2, T]
+            pos = pos.T
+        pos = pos[:2]
+    # index-space interpolation (observations.py:37-45 interp1d over indices)
+    t = np.arange(pos.shape[1])
+    interp_points = np.linspace(0.0, pos.shape[1] - 1, num_links)
+    x = np.interp(interp_points, t, pos[0])
+    y = np.interp(interp_points, t, pos[1])
+    pts = np.stack([x, y], axis=1)
+    # scale total polyline length to rope_length (observations.py:48-56)
+    total = np.linalg.norm(np.diff(pts, axis=0), axis=1).sum()
+    pts *= rope_length / total
+    out = np.concatenate([pts, np.full((num_links, 1), z)], axis=1)
     return out.astype(np.float32)
 
 
@@ -135,6 +194,9 @@ class RopeTaskCfg:
     center_rot_range: Tuple[float, float] = (-math.pi / 4, math.pi / 4)
 
     # shaping
+    # optional target-curve data file (LASA WShape.mat / npy / csv / json —
+    # see load_target_curve). None = procedural w_shape_curve fallback.
+    target_curve_file: str = ""
     target_yaw_range: Tuple[float, float] = (-math.pi / 2, math.pi / 2)
     # two-sided offset ranges (event_cfg.py angle_range 4-tuple)
     shaping_rot_ranges: Tuple[Tuple[float, float], Tuple[float, float]] = (
@@ -220,7 +282,12 @@ class RopeEnv:
             local_pos=jnp.zeros((2, 3)),
         )
         if cfg.is_shaping:
-            self.target_curve = jnp.asarray(w_shape_curve(L, cfg.rope_length, cfg.rope_z))
+            if cfg.target_curve_file:
+                curve = load_target_curve(cfg.target_curve_file, L, cfg.rope_length, cfg.rope_z)
+                curve = curve - np.concatenate([curve[:, :2].mean(0), [0.0]]).astype(np.float32)
+            else:
+                curve = w_shape_curve(L, cfg.rope_length, cfg.rope_z)
+            self.target_curve = jnp.asarray(curve)
         else:
             self.target_curve = None
         self.obs_spec = self._build_obs_spec()

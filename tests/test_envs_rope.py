@@ -27,6 +27,68 @@ def test_w_shape_curve_properties():
     assert dips >= 2
 
 
+def test_load_target_curve_formats(tmp_path):
+    """load_target_curve reproduces the reference LASA pipeline
+    (observations.py:26-60): index-space interp to num_links, total polyline
+    length scaled to rope_length, constant z — from .mat (pyLasaDataset
+    layout), .npy, and .csv."""
+    from geometry_rl_tpu.envs.rope import load_target_curve
+
+    # synthetic trace (a sine 'W'-ish curve), [2, T] like LASA demo pos
+    t = np.linspace(0, 2 * np.pi, 500)
+    trace = np.stack([t * 10.0, 12.0 * np.sin(2 * t)], axis=0)
+
+    # pyLasaDataset .mat layout: demos = [1, D] cell of structs w/ field pos
+    import scipy.io
+
+    demo = np.zeros((1, 1), dtype=[("pos", object), ("t", object)])
+    demo["pos"][0, 0] = trace
+    demo["t"][0, 0] = t[None]
+    cell = np.zeros((1, 3), dtype=object)
+    for d in range(3):
+        cell[0, d] = demo
+    scipy.io.savemat(tmp_path / "WShape.mat", {"demos": cell})
+
+    np.save(tmp_path / "curve.npy", trace)
+    np.savetxt(tmp_path / "curve.csv", trace.T, delimiter=",")
+
+    out_mat = load_target_curve(str(tmp_path / "WShape.mat"), 80, 10.0)
+    out_npy = load_target_curve(str(tmp_path / "curve.npy"), 80, 10.0)
+    out_csv = load_target_curve(str(tmp_path / "curve.csv"), 80, 10.0)
+    for out in (out_mat, out_npy, out_csv):
+        assert out.shape == (80, 3)
+        # total length == rope_length exactly (the reference's scale step)
+        seg = np.linalg.norm(np.diff(out[:, :2], axis=0), axis=1)
+        np.testing.assert_allclose(seg.sum(), 10.0, rtol=1e-5)
+        np.testing.assert_allclose(out[:, 2], 0.1, atol=1e-7)
+    np.testing.assert_allclose(out_mat, out_npy, atol=1e-6)
+    np.testing.assert_allclose(out_mat, out_csv, atol=1e-5)
+
+    # reference math cross-check: index-space interpolation, NOT arc-length
+    interp_points = np.linspace(0, trace.shape[1] - 1, 80)
+    x = np.interp(interp_points, np.arange(trace.shape[1]), trace[0])
+    y = np.interp(interp_points, np.arange(trace.shape[1]), trace[1])
+    ref = np.stack([x, y], axis=1)
+    ref *= 10.0 / np.linalg.norm(np.diff(ref, axis=0), axis=1).sum()
+    np.testing.assert_allclose(out_npy[:, :2], ref, atol=1e-5)
+
+
+def test_rope_shaping_env_with_target_curve_file(tmp_path):
+    """env.kwargs.target_curve_file swaps the procedural W for file data."""
+    t = np.linspace(0, 2 * np.pi, 300)
+    np.save(tmp_path / "c.npy", np.stack([t, np.sin(3 * t)], axis=0))
+    env = make_env(
+        "rope_shaping", num_envs=2, num_links=20, rope_length=2.5,
+        target_curve_file=str(tmp_path / "c.npy"),
+    )
+    assert env.target_curve.shape == (20, 3)
+    # centered in xy (env placement convention, like w_shape_curve)
+    np.testing.assert_allclose(np.asarray(env.target_curve[:, :2]).mean(0), 0.0, atol=1e-5)
+    state = env.reset(jax.random.PRNGKey(0))
+    state, ts = env.step(state, jnp.zeros((2, env.cfg.action_dim)))
+    assert np.isfinite(np.asarray(ts.reward)).all()
+
+
 def test_shape_descriptor_invariances():
     pts = jnp.asarray(w_shape_curve(20, 5.0)[:, :2])
     d0 = shape_descriptor(pts)
