@@ -951,3 +951,155 @@ def test_gyroscopic_off_is_noop_and_principal_axis_stable():
     w = np.asarray(s_off.bodies.ang_vel[0, 0])
     np.testing.assert_allclose(w[:2], 0.0, atol=1e-6)  # stays on the axis
     np.testing.assert_allclose(w[2], 4.0, rtol=2e-2)  # recovery damping only
+
+
+def test_restitution_bounce_height_rigid():
+    """Analytic restitution gate (VERDICT r2 item 6a): a rigid box dropped
+    from height h rebounds to ~e^2*h through the velocity pass. Apex error
+    is bounded by the one-substep impact-velocity discretization (g*dt on
+    v_impact) plus the XPBD penetration correction, so tolerance is 10%."""
+    h, e, half = 0.5, 0.6, 0.05
+
+    def drop(restitution):
+        state, spec = single_body_scene(pos=(0.0, 0.0, half + h))
+        corners = jnp.asarray(
+            [[sx * half, sy * half, sz * half] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+        )
+        contact = ContactSet(
+            body=0, local_points=corners, sdf=ground_sdf, friction=0.0,
+            restitution=restitution,
+        )
+        step = jax.jit(lambda s: xpbd_substep(s, spec, DT, contacts=(contact,), iterations=8))
+        apex, bounced = 0.0, False
+        for _ in range(400):
+            state = step(state)
+            z = float(state.bodies.pos[0, 0, 2]) - half
+            vz = float(state.bodies.lin_vel[0, 0, 2])
+            if bounced:
+                apex = max(apex, z)
+                if vz < 0 and apex > 0:  # passed the rebound apex
+                    break
+            elif vz > 0:
+                bounced = True
+        return apex
+
+    apex = drop(e)
+    assert abs(apex - e**2 * h) / (e**2 * h) < 0.10, f"apex {apex:.4f} vs {e**2*h:.4f}"
+    # e=0 control: no measurable rebound
+    assert drop(0.0) < 0.01
+
+
+def test_restitution_bounce_height_particle():
+    """Same analytic e^2*h gate through the PARTICLE velocity pass
+    (cloth/rope contacts, ParticleSDFContact.restitution)."""
+    h, e = 0.5, 0.6
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.zeros((B, 1, 3)), quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)), ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=ParticleState(
+            pos=jnp.tile(jnp.asarray([[0.0, 0.0, h]]), (B, 1, 1)), vel=jnp.zeros((B, 1, 3))
+        ),
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1), inv_inertia=jnp.zeros((1, 3)), gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1), ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)), free_rot=jnp.ones((1, 3)),
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.ones(1), lin_damping=0.0)
+    contact = ParticleSDFContact(sdf=ground_sdf, friction=0.0, restitution=e)
+    step = jax.jit(
+        lambda s: xpbd_substep(s, spec, DT, particle_spec=p_spec, particle_contacts=(contact,), iterations=8)
+    )
+    apex, bounced = 0.0, False
+    for _ in range(400):
+        state = step(state)
+        z = float(state.particles.pos[0, 0, 2])
+        vz = float(state.particles.vel[0, 0, 2])
+        if bounced:
+            apex = max(apex, z)
+            if vz < 0 and apex > 0:
+                break
+        elif vz > 0:
+            bounced = True
+    assert abs(apex - e**2 * h) / (e**2 * h) < 0.10, f"apex {apex:.4f} vs {e**2*h:.4f}"
+
+
+def test_cloth_drape_settles_to_catenary_of_strips():
+    """Independent (non-self-referential) cloth gate (VERDICT r2 item 6b):
+    the ACTUAL cloth-hanging grid constraint topology (envs/cloth.py
+    grid_constraints, all stretch/shear/bend families at env compliances),
+    pinned along two opposite edge columns with slack, settles to a
+    cylindrical drape whose every row matches the catenary of the measured
+    arc length — the same closed form as the chain gate, but through the
+    full 2D cloth machinery (a developable drape is an isometry, so shear
+    and bend families must not distort the shape)."""
+    from scipy.optimize import brentq
+
+    from geometry_rl_tpu.envs.cloth import N_ROW, grid_constraints
+
+    span_cols = 0.85  # pinned-edge separation (fraction of flat width): slack
+    spacing = 1.0 / (N_ROW - 1)
+    # flat grid laid out in x (columns) / y (rows), edge columns pre-pinned
+    # at reduced separation so the sheet must sag
+    cols = np.linspace(0.0, span_cols, N_ROW)
+    x0 = np.zeros((N_ROW * N_ROW, 3))
+    for r in range(N_ROW):
+        for c in range(N_ROW):
+            # interior points start on a shallow parabola to break symmetry
+            xx = cols[c]
+            sag0 = -0.2 * np.sin(np.pi * c / (N_ROW - 1))
+            x0[r * N_ROW + c] = (xx, r * spacing, sag0 if 0 < c < N_ROW - 1 else 0.0)
+    inv_m = np.ones(N_ROW * N_ROW)
+    for r in range(N_ROW):
+        inv_m[r * N_ROW + 0] = 0.0
+        inv_m[r * N_ROW + N_ROW - 1] = 0.0
+
+    state = SceneState(
+        bodies=RigidBodyState(
+            pos=jnp.zeros((B, 1, 3)), quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1, 1)),
+            lin_vel=jnp.zeros((B, 1, 3)), ang_vel=jnp.zeros((B, 1, 3)),
+        ),
+        particles=ParticleState(pos=jnp.tile(jnp.asarray(x0), (B, 1, 1)), vel=jnp.zeros((B, N_ROW * N_ROW, 3))),
+    )
+    spec = RigidBodySpec(
+        inv_mass=jnp.zeros(1), inv_inertia=jnp.zeros((1, 3)), gravity_scale=jnp.zeros(1),
+        lin_damping=jnp.zeros(1), ang_damping=jnp.zeros(1),
+        free_pos=jnp.ones((1, 3)), free_rot=jnp.ones((1, 3)),
+    )
+    # env compliance mapping (ClothTaskCfg defaults), stretch rigid for the
+    # inextensible closed form
+    compliance = {"stretch": 0.0, "shear": 1e-2, "bend": 2.0}
+    rest = {"stretch": spacing, "shear": spacing * np.sqrt(2.0), "bend": 2 * spacing}
+    groups = tuple(
+        DistanceGroup(
+            i=jnp.asarray(g[:, 0], jnp.int32), j=jnp.asarray(g[:, 1], jnp.int32),
+            rest=jnp.full(len(g), rest[fam]), compliance=jnp.full(len(g), compliance[fam]),
+        )
+        for fam, g in grid_constraints()
+    )
+    p_spec = ParticleSpec(inv_mass=jnp.asarray(inv_m), lin_damping=1.0)
+    step = jax.jit(
+        lambda s: xpbd_substep(s, spec, DT, particle_spec=p_spec, distance_groups=groups, iterations=12)
+    )
+    for _ in range(3000):
+        state = step(state)
+    assert float(jnp.abs(state.particles.vel).max()) < 2e-4  # settled
+
+    pos = np.asarray(state.particles.pos[0]).reshape(N_ROW, N_ROW, 3)
+    # every row is the same catenary: check the center row pointwise and the
+    # sag of all rows for cylindrical (strip-wise) consistency
+    row = pos[N_ROW // 2]
+    seg = np.linalg.norm(np.diff(row, axis=0), axis=-1)
+    Lm = float(seg.sum())
+    assert abs(Lm - 1.0) < 0.05  # residual XPBD stretch stays small
+    a = brentq(lambda a: 2 * a * np.sinh(span_cols / (2 * a)) - Lm, 0.02, 10.0)
+    sag = a * (np.cosh(span_cols / (2 * a)) - 1)
+    z = row[:, 2]
+    assert abs(-z.min() - sag) / sag < 0.03, f"sag {-z.min():.4f} vs catenary {sag:.4f}"
+    z_analytic = a * np.cosh((row[:, 0] - span_cols / 2) / a) - a * np.cosh(span_cols / (2 * a))
+    assert np.abs(z - z_analytic).max() < 5e-3  # pointwise < 5mm on a 1m sheet
+    # cylindrical drape: all rows share the same profile (isometry respected)
+    sags = pos[:, :, 2].min(axis=1)
+    assert np.abs(sags - sags.mean()).max() < 5e-3
