@@ -29,6 +29,13 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--eval-steps", type=int, default=200)
+    ap.add_argument(
+        "--success-threshold",
+        type=float,
+        default=None,
+        help="final deterministic success-rate eval of the cloned policy at this "
+        "object->target distance (tasks exposing object_target_distance)",
+    )
     ap.add_argument("--out-dir", default="logs/bc")
     ap.add_argument("--override", nargs="*", default=[])
     args = ap.parse_args(argv)
@@ -66,6 +73,20 @@ def main(argv=None):
     )
     for row in history:
         print(json.dumps(row), flush=True)
+
+    if args.success_threshold is not None:
+        # capability-grade artifact: deterministic success rate of the CLONED
+        # policy (reference workflow: behavior_cloning.py periodic eval_model)
+        succ = trainer.eval_success(new_state, args.eval_steps, args.success_threshold)
+        summary = {
+            "success_rate": float(succ["success_rate"]),
+            "mean_final_distance": float(succ["mean_final_distance"]),
+            "threshold": args.success_threshold,
+            "transitions": int(data["action"].shape[0]),
+            "epochs": args.epochs,
+        }
+        history.append({"final_eval": summary})
+        print(json.dumps({"final_eval": summary}), flush=True)
 
     save_checkpoint(os.path.join(args.out_dir, "cloned"), args.epochs, new_state)
     with open(os.path.join(args.out_dir, "bc_history.json"), "w") as f:
