@@ -28,6 +28,15 @@ DEFAULTS: Dict[str, Any] = {
     "env": {
         "num_envs": 1000,
         "kwargs": {},
+        # in-training video recording (reference env.video* keys,
+        # configs/env/default.yaml:18-23 + gym.wrappers.RecordVideo wiring in
+        # orbit/wrappers/torchrl.py:117-123). Here a deterministic rollout of
+        # env 0 is rendered to <run>/<video_dir>/iter_xxxxx.gif every
+        # `video_interval` training iterations via train/render.py.
+        "video": False,
+        "video_length": 0,  # 0 = one full episode
+        "video_interval": 50,
+        "video_dir": "videos",
     },
     "collector": {
         # frames_per_batch / num_envs = control steps per iteration

@@ -148,12 +148,21 @@ def main(argv=None):
             f"(or parallel.data_parallel=false was set)"
         )
 
+    video_cfg = None
+    if cfg["env"].get("video") and is_main:
+        video_cfg = {
+            "interval": max(1, int(cfg["env"].get("video_interval", 50))),
+            "length": int(cfg["env"].get("video_length", 0)),
+            "dir": os.path.join(log_dir, cfg["env"].get("video_dir", "videos")),
+        }
+        os.makedirs(video_cfg["dir"], exist_ok=True)
+
     start = time.time()
     with mesh_ctx:
         train_loop(
             trainer, state, papi_state, logger, start_iter, total_iterations,
             save_interval, save_best, best_reward, frames_per_batch,
-            ckpt_dir, log_dir, is_main,
+            ckpt_dir, log_dir, is_main, video_cfg,
         )
     if is_main:
         print(f"Training took {time.time() - start:.1f}s")
@@ -164,7 +173,7 @@ def main(argv=None):
 def train_loop(
     trainer, state, papi_state, logger, start_iter, total_iterations,
     save_interval, save_best, best_reward, frames_per_batch,
-    ckpt_dir, log_dir, is_main,
+    ckpt_dir, log_dir, is_main, video_cfg=None,
 ):
     from .checkpoint import save_checkpoint
 
@@ -195,6 +204,19 @@ def train_loop(
         if save_best and reward == reward and reward > best_reward:  # NaN-safe
             best_reward = reward
             save_checkpoint(os.path.join(log_dir, "best"), i, state, metrics={"reward": reward})
+        if video_cfg and i % video_cfg["interval"] == 0:
+            # in-training recording (reference RecordVideo wiring,
+            # orbit/wrappers/torchrl.py:117-123): deterministic rollout of
+            # env 0 with the CURRENT policy. Never let rendering kill a run.
+            try:
+                from .render import record_rollout
+
+                n_steps = video_cfg["length"] or getattr(trainer.env.cfg, "episode_length", 100)
+                path = os.path.join(video_cfg["dir"], f"iter_{i:05d}.gif")
+                record_rollout(trainer, state, path, n_steps=n_steps)
+                print(f"recorded {path}", flush=True)
+            except Exception as e:  # pragma: no cover - renderer-env dependent
+                print(f"WARNING: video recording failed at iter {i}: {e}", flush=True)
 
     save_checkpoint(ckpt_dir, total_iterations - 1, state)
     if papi_state is not None:

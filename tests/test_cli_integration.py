@@ -60,6 +60,35 @@ def test_train_cli_then_play(tmp_path, monkeypatch):
         assert "reward" in v
         assert 0.0 <= v["success_rate"] <= 1.0  # rigid insertion exposes distance
 
+    # in-training video recording (reference env.video* keys,
+    # orbit/wrappers/torchrl.py:117-123): every `video_interval` iterations a
+    # deterministic rollout GIF lands in <run>/<video_dir>
+    cli.main(
+        [
+            "--config",
+            "rigid_insertion_multi_hepi_trpl",
+            "--override",
+            "env.num_envs=2",
+            "env.kwargs.episode_length=4",
+            "env.kwargs.warmup_steps=0",
+            "env.video=true",
+            "env.video_interval=2",
+            "env.video_length=2",
+            "collector.frames_per_batch=8",
+            "collector.total_frames=24",
+            "algorithm.latent_dim=16",
+            "algorithm.num_ori=4",
+            "algorithm.dtype=float32",
+            "algorithm.objective.mini_batch_size=8",
+            "algorithm.objective.ppo_epochs=1",
+            "logger.log_dir=logs/video_run",
+        ]
+    )
+    vrun = os.listdir(tmp_path / "logs" / "video_run")[0]
+    videos = os.listdir(tmp_path / "logs" / "video_run" / vrun / "videos")
+    # 3 iterations, interval 2 -> iters 0 and 2
+    assert sorted(videos) == ["iter_00000.gif", "iter_00002.gif"]
+
     # eval with a DIFFERENT env count than training (the reference's play.py
     # cfg-merge override): env-sized leaves can't restore into the reshaped
     # template, so play partial-restores the env-independent fields
