@@ -16,9 +16,17 @@ set -u
 cd /root/repo
 LOG=docs/r5_queue.log
 
+# Hard deadline (epoch seconds): no NEW stage starts after this, so the chip
+# is free for the driver's end-of-round bench. Override via R5_DEADLINE.
+DEADLINE="${R5_DEADLINE:-$(date -d '2026-08-19 21:15 UTC' +%s)}"
+
 run_train_eval() {
   # name cfg total_frames timeout threshold extra_overrides...
   local name=$1 cfg=$2 frames=$3 tmo=$4 thr=$5; shift 5
+  if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    echo "[r5:$name] SKIP past deadline $(date)" >> "$LOG"
+    return 0
+  fi
   echo "[r5:$name] train start $(date)" >> "$LOG"
   timeout "$tmo" python -m geometry_rl_tpu.train.cli \
     --config "$cfg" \
