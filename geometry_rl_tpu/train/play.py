@@ -45,6 +45,13 @@ def main(argv=None):
         help="also report success rate at this object->target distance "
         "(tasks exposing the object_target_distance info key)",
     )
+    ap.add_argument(
+        "--record",
+        default=None,
+        metavar="DIR",
+        help="render a rollout GIF per evaluated checkpoint into DIR "
+        "(the reference play.py's video recording path)",
+    )
     args = ap.parse_args(argv)
 
     from ..config import load_config, trainer_from_config
@@ -110,6 +117,16 @@ def main(argv=None):
             key = str(step) if label == "checkpoints" else f"{label}/{step}"
             results[key] = entry
             n_evaluated += 1
+            if args.record:
+                from .render import record_rollout
+
+                os.makedirs(args.record, exist_ok=True)
+                gif = os.path.join(args.record, f"{key.replace('/', '_')}.gif")
+                record_rollout(
+                    trainer, state, gif, n_steps=args.episodes_steps,
+                    deterministic=deterministic,
+                )
+                entry["video"] = gif
             extra = f" success {entry['success_rate']:.3f}" if "success_rate" in entry else ""
             print(f"checkpoint {key}: mean episode reward {entry['reward']:.3f}{extra}", flush=True)
     if not n_evaluated:

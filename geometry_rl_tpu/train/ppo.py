@@ -399,7 +399,14 @@ class Trainer:
         (actor_params, critic_params, actor_opt, critic_opt, key, num_updates, kl_beta), metrics = jax.lax.scan(
             epoch_fn, carry0, None, length=cfg.ppo_epochs
         )
-        metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
+        # per-iteration aggregation over the [epochs, minibatches] metric
+        # stacks: means, EXCEPT the *_max constraint metrics which aggregate
+        # as true maxes — a mean-of-maxes dilutes a single-minibatch KL spike
+        # ~(epochs*minibatches)x and hides exactly the instabilities these
+        # keys exist to surface (train.py:280-292 logs them per minibatch).
+        metrics = {
+            k: (v.max() if k.endswith("_max") else v.mean()) for k, v in metrics.items()
+        }
         # explained variance (train.py:325)
         var_y = jnp.var(data["value_target"])
         metrics["train/explained_variance"] = 1.0 - jnp.var(data["value_target"] - data["value"]) / jnp.maximum(

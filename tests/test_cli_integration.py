@@ -60,6 +60,14 @@ def test_train_cli_then_play(tmp_path, monkeypatch):
         assert "reward" in v
         assert 0.0 <= v["success_rate"] <= 1.0  # rigid insertion exposes distance
 
+    # eval-time recording (reference play.py video path): one GIF per
+    # evaluated checkpoint
+    play.main(["--run-dir", str(run_dir), "--checkpoint", "best",
+               "--episodes-steps", "8", "--record", str(run_dir / "eval_videos")])
+    vids = os.listdir(run_dir / "eval_videos")
+    # the best/ root can hold several improving saves — one GIF per each
+    assert vids and all(v.startswith("best_") and v.endswith(".gif") for v in vids)
+
     # in-training video recording (reference env.video* keys,
     # orbit/wrappers/torchrl.py:117-123): every `video_interval` iterations a
     # deterministic rollout GIF lands in <run>/<video_dir>
