@@ -64,9 +64,13 @@ def behavior_cloning(
 ) -> Tuple[TrainState, list]:
     """Fit the policy mean to recorded actions with MSE (behavior_cloning.py:
     minibatch Adam; every `eval_every` epochs optionally evaluate)."""
-    tobs = {k[len("obs_") :]: jnp.asarray(v) for k, v in data.items() if k.startswith("obs_")}
-    actions = jnp.asarray(data["action"])
-    env_ids = jnp.asarray(data["env_ids"])
+    # The dataset is device_put ONCE and passed as jit ARGUMENTS below.
+    # Closing over concrete arrays bakes them into the compiled program as
+    # constants — for a ~10^5-transition dataset that serializes hundreds of
+    # MB of HLO, which remote-compile services reject outright.
+    tobs = jax.device_put({k[len("obs_") :]: jnp.asarray(v) for k, v in data.items() if k.startswith("obs_")})
+    actions = jax.device_put(jnp.asarray(data["action"]))
+    env_ids = jax.device_put(jnp.asarray(data["env_ids"]))
     n = actions.shape[0]
 
     tx = optax.adam(lr)
@@ -78,24 +82,29 @@ def behavior_cloning(
         return jnp.mean((dist.mean - mb_act) ** 2)
 
     @jax.jit
-    def update(p, o, idx):
-        mb_obs = jax.tree_util.tree_map(lambda x: x[idx], tobs)
-        mb_act = actions[idx]
-        mb_ids = env_ids[idx]
-        loss, grads = jax.value_and_grad(loss_fn)(p, mb_obs, mb_act, mb_ids)
-        upd, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, upd), o, loss
+    def run_epoch(p, o, perm, d_obs, d_act, d_ids):
+        # One scan over the epoch's minibatch index matrix: O(epochs)
+        # dispatches instead of O(minibatches) — the per-call overhead of a
+        # tunneled accelerator dominates 256-sample updates otherwise.
+        def body(carry, idx):
+            p, o = carry
+            mb_obs = jax.tree_util.tree_map(lambda x: x[idx], d_obs)
+            loss, grads = jax.value_and_grad(loss_fn)(p, mb_obs, d_act[idx], d_ids[idx])
+            upd, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, upd), o), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), perm)
+        return p, o, jnp.mean(losses)
 
     rng = np.random.default_rng(seed)
     history = []
     n_batches = max(1, n // batch_size)
     for epoch in range(epochs):
         perm = rng.permutation(n)[: n_batches * batch_size].reshape(n_batches, batch_size)
-        losses = []
-        for idx in perm:
-            params, opt_state, loss = update(params, opt_state, jnp.asarray(idx))
-            losses.append(float(loss))
-        entry = {"epoch": epoch, "bc_loss": float(np.mean(losses))}
+        params, opt_state, mean_loss = run_epoch(
+            params, opt_state, jnp.asarray(perm), tobs, actions, env_ids
+        )
+        entry = {"epoch": epoch, "bc_loss": float(mean_loss)}
         if eval_steps and eval_every and epoch % eval_every == 0:
             ret = trainer.eval_rollout(state._replace(actor_params=params), n_steps=eval_steps)
             entry["eval_reward"] = float(ret)

@@ -36,6 +36,13 @@ def main(argv=None):
         help="final deterministic success-rate eval of the cloned policy at this "
         "object->target distance (tasks exposing object_target_distance)",
     )
+    ap.add_argument(
+        "--fresh-actor",
+        action="store_true",
+        help="reinitialize the actor after --checkpoint restore (keep the "
+        "normalizer stats the dataset was recorded with) — clone the expert "
+        "into a FRESH policy instead of fine-tuning the expert itself",
+    )
     ap.add_argument("--out-dir", default="logs/bc")
     ap.add_argument("--override", nargs="*", default=[])
     args = ap.parse_args(argv)
@@ -50,6 +57,9 @@ def main(argv=None):
     state = trainer.init(jax.random.PRNGKey(cfg["seed"]))
     if args.checkpoint:
         state = restore_checkpoint(args.checkpoint, state, latest_step(args.checkpoint))
+    if args.fresh_actor:
+        fresh = trainer.init(jax.random.PRNGKey(cfg["seed"] + 1))
+        state = state._replace(actor_params=fresh.actor_params)
 
     if args.data:
         import numpy as np

@@ -8,6 +8,28 @@
 set -u
 cd /root/repo
 LOG=docs/r5_queue.log
+
+# 0. BC rerun (the queue's BC stage failed on the dataset-as-HLO-constant
+#    bug, fixed in train/bc.py). Reuses the already-recorded data.npz from
+#    the 99.7% flagship — training + eval only, ~10 min of chip time.
+bc_ckpt=$(ls -d logs/r5_hepi_insertion/*/best 2>/dev/null | tail -1)
+if [ -f logs/r5_bc_insertion/data.npz ] && [ -n "${bc_ckpt:-}" ]; then
+  # --checkpoint restores the flagship normalizer stats: the recorded tobs
+  # were normalized with them, so the cloned policy must be evaluated with
+  # the same normalizer.
+  echo "[r5:bc2] start $(date)" >> "$LOG"
+  timeout 3000 python -m geometry_rl_tpu.train.bc_cli \
+    --config rigid_insertion_multi_hepi_trpl \
+    --override env.num_envs=1024 env.kwargs.warmup_steps=0 \
+      collector.frames_per_batch=102400 \
+    --checkpoint "$bc_ckpt" --fresh-actor \
+    --data logs/r5_bc_insertion/data.npz --epochs 50 \
+    --eval-steps 400 --success-threshold 0.1 \
+    --out-dir logs/r5_bc_insertion > docs/r5_bc_insertion.log 2>&1
+  echo "[r5:bc2] rc=$? $(date)" >> "$LOG"
+  cp logs/r5_bc_insertion/bc_history.json docs/bc_insertion.json 2>/dev/null
+fi
+
 run=$(ls -d logs/r5_two_agents_fix/* | tail -1)
 echo "[r5-2afu] start run=$run $(date)" >> "$LOG"
 

@@ -164,6 +164,54 @@ def test_generate_data_and_bc(tmp_path, small_trainer_state):
     assert max(diffs) > 0
 
 
+def test_bc_cli_end_to_end(tmp_path):
+    """The full bc_cli workflow (behavior_cloning.py:14-142 equivalent):
+    record a dataset, then clone into a FRESH actor from the saved .npz with
+    a final deterministic success eval. Exercises the dataset-as-jit-argument
+    path (closing over the data bakes it into the HLO as constants, which
+    remote-compile services reject for real dataset sizes)."""
+    from geometry_rl_tpu.train import bc_cli
+
+    overrides = [
+        "env.num_envs=2",
+        "env.kwargs.episode_length=4",
+        "env.kwargs.warmup_steps=0",
+        "collector.frames_per_batch=8",
+        "collector.total_frames=16",
+        "algorithm.latent_dim=16",
+        "algorithm.num_ori=4",
+        "algorithm.objective.mini_batch_size=8",
+        "algorithm.objective.ppo_epochs=1",
+    ]
+    out = str(tmp_path / "bc")
+    bc_cli.main(
+        [
+            "--config", "rigid_insertion_multi_hepi_trpl",
+            "--record-steps", "6", "--epochs", "2", "--batch-size", "4",
+            "--eval-every", "0", "--eval-steps", "0",
+            "--out-dir", out, "--override", *overrides,
+        ]
+    )  # fmt: skip
+    assert os.path.exists(os.path.join(out, "data.npz"))
+
+    out2 = str(tmp_path / "bc2")
+    bc_cli.main(
+        [
+            "--config", "rigid_insertion_multi_hepi_trpl",
+            "--data", os.path.join(out, "data.npz"),
+            "--epochs", "2", "--batch-size", "4",
+            "--eval-every", "0", "--eval-steps", "4",
+            "--fresh-actor", "--success-threshold", "0.1",
+            "--out-dir", out2, "--override", *overrides,
+        ]
+    )  # fmt: skip
+    hist = json.load(open(os.path.join(out2, "bc_history.json")))
+    final = hist[-1]["final_eval"]
+    assert 0.0 <= final["success_rate"] <= 1.0
+    assert final["transitions"] == 12
+    assert latest_step(os.path.join(out2, "cloned")) == 2
+
+
 def test_onpolicy_runner(tmp_path):
     from geometry_rl_tpu.train.runner import OnPolicyRunner
 
