@@ -1,22 +1,34 @@
 #!/bin/bash
-# Two-agents follow-up after the stable fix run (86.5% best-train-ckpt eval):
-#   1. checkpoint-sweep eval (play --all-checkpoints) — best TRAIN reward is
-#      not necessarily best EVAL; the run saved every 10 iters.
-#   2. full eval_breakdown on the sweep's best checkpoint.
-#   3. optional continuation: resume the run to total_frames=30M (+150 iters)
-#      if R5_CONTINUE=1.
+# Follow-up queue after the main round-3 chip queue, in VALUE order:
+#   0. BC rerun (the queue's BC stage failed on the dataset-as-HLO-constant
+#      bug, fixed in train/bc.py) — short, closes VERDICT item 5.
+#   1. two-agents continuation: resume the stable 15M fix run (86.5%
+#      best-train-ckpt eval, max KL 0.073) to total_frames=30M if
+#      R5_CONTINUE=1 — the lever for the >=90.8% bar (VERDICT item 1).
+#   2. checkpoint-sweep eval (play --all-checkpoints) over the newest
+#      two-agents run — best TRAIN reward is not necessarily best EVAL.
 set -u
 cd /root/repo
 LOG=docs/r5_queue.log
 
-# 0. BC rerun (the queue's BC stage failed on the dataset-as-HLO-constant
-#    bug, fixed in train/bc.py). Reuses the already-recorded data.npz from
-#    the 99.7% flagship — training + eval only, ~10 min of chip time.
+# Per-stage deadline guards: no stage may START if it could still be holding
+# the exclusive chip when the driver's end-of-round bench runs (~21:15 UTC).
+# Stage duration bounds: BC ~15 min, continuation+eval ~75 min, sweep ~35 min.
+now() { date +%s; }
+BC_DEADLINE=$(date -d '2026-08-19 20:50 UTC' +%s)
+CONT_DEADLINE=$(date -d '2026-08-19 19:45 UTC' +%s)
+SWEEP_DEADLINE=$(date -d '2026-08-19 20:25 UTC' +%s)
+
+# 0. BC rerun. Reuses the already-recorded data.npz from the 99.7% flagship —
+#    training + eval only, ~10 min of chip time. --checkpoint restores the
+#    flagship normalizer stats (the recorded tobs were normalized with them,
+#    so the cloned policy must be evaluated with the same normalizer);
+#    --fresh-actor reinitializes the policy so this clones the expert into a
+#    fresh actor instead of fine-tuning the expert itself.
 bc_ckpt=$(ls -d logs/r5_hepi_insertion/*/best 2>/dev/null | tail -1)
-if [ -f logs/r5_bc_insertion/data.npz ] && [ -n "${bc_ckpt:-}" ]; then
-  # --checkpoint restores the flagship normalizer stats: the recorded tobs
-  # were normalized with them, so the cloned policy must be evaluated with
-  # the same normalizer.
+if [ "$(now)" -gt "$BC_DEADLINE" ]; then
+  echo "[r5:bc2] SKIP past deadline $(date)" >> "$LOG"
+elif [ -f logs/r5_bc_insertion/data.npz ] && [ -n "${bc_ckpt:-}" ]; then
   echo "[r5:bc2] start $(date)" >> "$LOG"
   timeout 3000 python -m geometry_rl_tpu.train.bc_cli \
     --config rigid_insertion_multi_hepi_trpl \
@@ -33,13 +45,10 @@ fi
 run=$(ls -d logs/r5_two_agents_fix/* | tail -1)
 echo "[r5-2afu] start run=$run $(date)" >> "$LOG"
 
-timeout 3600 python -m geometry_rl_tpu.train.play --run-dir "$run" \
-  --all-checkpoints --episodes-steps 400 --success-threshold 0.1 \
-  > docs/two_agents_fix_sweep_r5.log 2>&1
-echo "[r5-2afu] sweep rc=$? $(date)" >> "$LOG"
-cp "$run"/eval.json docs/runs_two_agents_fix_r5_sweep.json 2>/dev/null
-
-if [ "${R5_CONTINUE:-0}" = "1" ]; then
+# 1. continuation to 30M (+150 iters at ~18s/iter)
+if [ "$(now)" -gt "$CONT_DEADLINE" ]; then
+  echo "[r5-2afu] continuation SKIP past deadline $(date)" >> "$LOG"
+elif [ "${R5_CONTINUE:-0}" = "1" ]; then
   echo "[r5-2afu] continuation to 30M $(date)" >> "$LOG"
   timeout 7000 python -m geometry_rl_tpu.train.cli \
     --config rigid_insertion_two_agents_multi_hepi_trpl \
@@ -49,12 +58,27 @@ if [ "${R5_CONTINUE:-0}" = "1" ]; then
     --resume "$run/checkpoints" \
     > docs/two_agents_fix30_r5.log 2>&1
   echo "[r5-2afu] cont rc=$? $(date)" >> "$LOG"
-  run30=$(ls -d logs/r5_two_agents_fix30/* | tail -1)
-  timeout 1800 python scripts/eval_breakdown.py --run-dir "$run30" \
-    --out docs/runs_two_agents_fix30_r5_eval.json \
-    >> docs/two_agents_fix30_r5.log 2>&1
-  echo "[r5-2afu] cont eval rc=$? $(date)" >> "$LOG"
-  mkdir -p docs/runs/r5_two_agents_fix30
-  cp "$run30"/metrics.jsonl docs/runs/r5_two_agents_fix30/ 2>/dev/null
+  run30=$(ls -d logs/r5_two_agents_fix30/* 2>/dev/null | tail -1)
+  if [ -n "${run30:-}" ]; then
+    timeout 1800 python scripts/eval_breakdown.py --run-dir "$run30" \
+      --out docs/runs_two_agents_fix30_r5_eval.json \
+      >> docs/two_agents_fix30_r5.log 2>&1
+    echo "[r5-2afu] cont eval rc=$? $(date)" >> "$LOG"
+    mkdir -p docs/runs/r5_two_agents_fix30
+    cp "$run30"/metrics.jsonl docs/runs/r5_two_agents_fix30/ 2>/dev/null
+    cp "$run30"/hparams.json docs/runs/r5_two_agents_fix30/ 2>/dev/null
+    run=$run30  # sweep the continued run below
+  fi
+fi
+
+# 2. checkpoint sweep over the newest two-agents run
+if [ "$(now)" -gt "$SWEEP_DEADLINE" ]; then
+  echo "[r5-2afu] sweep SKIP past deadline $(date)" >> "$LOG"
+else
+  timeout 2400 python -m geometry_rl_tpu.train.play --run-dir "$run" \
+    --all-checkpoints --episodes-steps 400 --success-threshold 0.1 \
+    > docs/two_agents_fix_sweep_r5.log 2>&1
+  echo "[r5-2afu] sweep rc=$? run=$run $(date)" >> "$LOG"
+  cp "$run"/eval.json docs/runs_two_agents_fix_r5_sweep.json 2>/dev/null
 fi
 echo "[r5-2afu] done $(date)" >> "$LOG"
