@@ -81,4 +81,32 @@ else
   echo "[r5-2afu] sweep rc=$? run=$run $(date)" >> "$LOG"
   cp "$run"/eval.json docs/runs_two_agents_fix_r5_sweep.json 2>/dev/null
 fi
+# 3-4. cheap flagship scoreboard refreshes on shipped code (VERDICT item 9):
+#      cloth_hanging 5M (~14 min) and rope_closing 4M (~12 min), eval via
+#      play (both tasks expose object_target_distance).
+refresh() {
+  # name cfg threshold deadline_hhmm
+  local name=$1 cfg=$2 thr=$3 dl=$4
+  if [ "$(now)" -gt "$(date -d "2026-08-19 $dl UTC" +%s)" ]; then
+    echo "[r5:$name] SKIP past deadline $(date)" >> "$LOG"
+    return 0
+  fi
+  echo "[r5:$name] train start $(date)" >> "$LOG"
+  timeout 1800 python -m geometry_rl_tpu.train.cli --config "$cfg" \
+    --override "logger.log_dir=logs/r5_$name" \
+    > "docs/r5_${name}.log" 2>&1
+  echo "[r5:$name] train rc=$? $(date)" >> "$LOG"
+  local rdir
+  rdir=$(ls -d logs/r5_$name/* 2>/dev/null | tail -1)
+  [ -z "${rdir:-}" ] && return 0
+  timeout 1200 python -m geometry_rl_tpu.train.play --run-dir "$rdir" \
+    --episodes-steps 400 --success-threshold "$thr" \
+    >> "docs/r5_${name}.log" 2>&1
+  echo "[r5:$name] eval rc=$? run=$rdir $(date)" >> "$LOG"
+  mkdir -p "docs/runs/r5_$name"
+  cp "$rdir"/metrics.jsonl "$rdir"/hparams.json "$rdir"/eval.json "docs/runs/r5_$name/" 2>/dev/null
+}
+refresh cloth_hanging cloth_hanging_multi_hepi_trpl 0.2 "20:35"
+refresh rope_closing rope_closing_hepi_trpl 0.1 "20:50"
+
 echo "[r5-2afu] done $(date)" >> "$LOG"
