@@ -1,0 +1,123 @@
+"""Build the HEPi-vs-baselines comparison table (docs/MODEL_COMPARISON.md).
+
+The reference exists to compare HEPi against non-equivariant baselines across
+task x model configs (configs/rigid_insertion_multi_{empn,transformer}_trpl_cfg.yaml,
+configs/cloth_hanging_multi_*_trpl_cfg.yaml) — this emits that comparison from
+our full-budget run artifacts: final deterministic success, per-shape minimum,
+sample efficiency (frames to reach a reward level), and wall-clock cost.
+
+    python scripts/model_comparison.py            # writes docs/MODEL_COMPARISON.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (task, model label, run artifacts dir, eval json, reward levels for
+# sample-efficiency). Reward levels are shared per task so models are
+# comparable: "frames until train/reward first exceeds level".
+GROUPS = [
+    (
+        "rigid_insertion (20M frames)",
+        [
+            ("HEPi", "docs/runs/r5_hepi_insertion", "docs/r5_hepi_insertion_eval.json"),
+            ("EMPN", "docs/runs/r5_empn_insertion", "docs/r5_empn_insertion_eval.json"),
+            ("Transformer", "docs/runs/r5_transformer_insertion", "docs/r5_transformer_insertion_eval.json"),
+        ],
+        [-35.0, -30.0, -27.0],
+    ),
+    (
+        "cloth_hanging (5M frames)",
+        [
+            # HEPi: prefer the round-3 shipped-code refresh, else the r2 flagship
+            ("HEPi", "docs/runs/r5_cloth_hanging", "docs/r5_cloth_hanging_eval.json"),
+            ("HEPi (r2)", "docs/runs/r2_cloth", "docs/runs/r2_cloth/eval_breakdown.json"),
+            ("EMPN", "docs/runs/r5_empn_cloth", "docs/r5_empn_cloth_eval.json"),
+            ("Transformer", "docs/runs/r5_transformer_cloth", "docs/r5_transformer_cloth_eval.json"),
+        ],
+        [-150.0, -110.0],
+    ),
+]
+
+
+def load_metrics(run_dir):
+    for name in ("metrics.jsonl", "metrics_sampled.jsonl"):
+        path = os.path.join(REPO, run_dir, name)
+        if os.path.exists(path):
+            return [json.loads(l) for l in open(path)]
+    return None
+
+
+def frames_to_reward(rows, level):
+    for r in rows:
+        if r.get("train/reward", -1e30) >= level:
+            return r.get("train/frames", r["step"])
+    return None
+
+
+def fmt_frames(f):
+    return "—" if f is None else f"{f/1e6:.1f}M"
+
+
+def main():
+    out = [
+        "# HEPi vs baselines — full-budget comparison",
+        "",
+        "Full-budget training runs at the reference budgets (the paper's",
+        "central comparison: equivariant HEPi vs non-equivariant EMPN /",
+        "Transformer). Deterministic eval on the best checkpoint; sample",
+        "efficiency = first iteration whose mean train reward reaches the",
+        "level. All runs: ONE v5e chip, identical algorithm (TRPL) and",
+        "task hyperparameters, model swapped.",
+        "",
+    ]
+    for title, runs, levels in GROUPS:
+        out += [f"## {title}", ""]
+        hdr = ["model", "success", "min per-shape", "mean final dist"]
+        hdr += [f"frames→R≥{lvl:g}" for lvl in levels]
+        hdr += ["s/iter"]
+        out.append("| " + " | ".join(hdr) + " |")
+        out.append("|" + "---|" * len(hdr))
+        # first available artifact per base model name wins (rows are listed
+        # in priority order, e.g. shipped-code refresh before an older run)
+        chosen = {}
+        for label, run_dir, eval_json in runs:
+            base = label.split(" (")[0]
+            ev_path = os.path.join(REPO, eval_json)
+            rows = load_metrics(run_dir)
+            if base not in chosen and os.path.exists(ev_path) and rows is not None:
+                chosen[base] = (label, rows, ev_path)
+        for base in dict.fromkeys(l.split(" (")[0] for l, _, _ in runs):
+            if base not in chosen:
+                out.append(f"| {base} | (run not available) |" + " |" * (len(hdr) - 2))
+                continue
+            label, rows, ev_path = chosen[base]
+            ev = json.load(open(ev_path))
+            overall = ev["overall"]
+            per_shape = ev.get("per_shape") or {}
+            min_shape = (
+                min(per_shape.items(), key=lambda kv: kv[1]["success_rate"]) if per_shape else None
+            )
+            cells = [
+                label,
+                f"**{overall['success_rate']*100:.2f}%**",
+                f"{min_shape[1]['success_rate']*100:.1f}% ({min_shape[0]})" if min_shape else "—",
+                f"{overall['mean_final_distance']:.4f}",
+            ]
+            cells += [fmt_frames(frames_to_reward(rows, lvl)) for lvl in levels]
+            iter_times = [r["train/iteration_time"] for r in rows[2:]]  # skip compile iters
+            cells += [f"{sum(iter_times)/max(len(iter_times),1):.1f}"]
+            out.append("| " + " | ".join(cells) + " |")
+        out.append("")
+    path = os.path.join(REPO, "docs", "MODEL_COMPARISON.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}")
+    print("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()

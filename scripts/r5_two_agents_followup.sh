@@ -99,12 +99,12 @@ refresh() {
   local rdir
   rdir=$(ls -d logs/r5_$name/* 2>/dev/null | tail -1)
   [ -z "${rdir:-}" ] && return 0
-  timeout 1200 python -m geometry_rl_tpu.train.play --run-dir "$rdir" \
-    --episodes-steps 400 --success-threshold "$thr" \
+  timeout 1200 python scripts/eval_breakdown.py --run-dir "$rdir" \
+    --threshold "$thr" --out "docs/r5_${name}_eval.json" \
     >> "docs/r5_${name}.log" 2>&1
   echo "[r5:$name] eval rc=$? run=$rdir $(date)" >> "$LOG"
   mkdir -p "docs/runs/r5_$name"
-  cp "$rdir"/metrics.jsonl "$rdir"/hparams.json "$rdir"/eval.json "docs/runs/r5_$name/" 2>/dev/null
+  cp "$rdir"/metrics.jsonl "$rdir"/hparams.json "docs/runs/r5_$name/" 2>/dev/null
 }
 refresh cloth_hanging cloth_hanging_multi_hepi_trpl 0.2 "20:35"
 refresh rope_closing rope_closing_hepi_trpl 0.1 "20:50"
