@@ -1,12 +1,15 @@
-"""Build the HEPi-vs-baselines comparison table (docs/MODEL_COMPARISON.md).
+"""Build the HEPi-vs-baselines and algorithm-family comparison tables.
 
 The reference exists to compare HEPi against non-equivariant baselines across
 task x model configs (configs/rigid_insertion_multi_{empn,transformer}_trpl_cfg.yaml,
-configs/cloth_hanging_multi_*_trpl_cfg.yaml) — this emits that comparison from
-our full-budget run artifacts: final deterministic success, per-shape minimum,
-sample efficiency (frames to reach a reward level), and wall-clock cost.
+configs/cloth_hanging_multi_*_trpl_cfg.yaml) and registers three algorithm
+families (configs/algorithm/{trpl,ppo,kl_ppo}.yaml) — this emits both
+comparisons from our full-budget run artifacts: final deterministic success,
+per-shape minimum, sample efficiency (frames to reach a reward level), and
+wall-clock cost.
 
-    python scripts/model_comparison.py            # writes docs/MODEL_COMPARISON.md
+    python scripts/model_comparison.py   # writes docs/MODEL_COMPARISON.md
+                                         #      + docs/ALGO_COMPARISON.md
 """
 
 from __future__ import annotations
@@ -43,6 +46,23 @@ GROUPS = [
 ]
 
 
+# Same structure, algorithm swapped instead of the model (HEPi policy for all):
+# TRPL vs KL-penalty PPO vs clipped PPO on the flagship task at the flagship
+# budget (VERDICT round-2 item 4: capability-grade artifacts for all three
+# registered algorithm families, configs/algorithm/{trpl,ppo,kl_ppo}.yaml).
+ALGO_GROUPS = [
+    (
+        "rigid_insertion, HEPi policy (20.48M frames)",
+        [
+            ("TRPL", "docs/runs/r5_hepi_insertion", "docs/r5_hepi_insertion_eval.json"),
+            ("kl_ppo", "docs/runs/r5_kl_ppo_insertion", "docs/r5_kl_ppo_insertion_eval.json"),
+            ("PPO (clip)", "docs/runs/r5_ppo_insertion", "docs/r5_ppo_insertion_eval.json"),
+        ],
+        [-35.0, -30.0, -27.0],
+    ),
+]
+
+
 def load_metrics(run_dir):
     for name in ("metrics.jsonl", "metrics_sampled.jsonl"):
         path = os.path.join(REPO, run_dir, name)
@@ -62,21 +82,11 @@ def fmt_frames(f):
     return "—" if f is None else f"{f/1e6:.1f}M"
 
 
-def main():
-    out = [
-        "# HEPi vs baselines — full-budget comparison",
-        "",
-        "Full-budget training runs at the reference budgets (the paper's",
-        "central comparison: equivariant HEPi vs non-equivariant EMPN /",
-        "Transformer). Deterministic eval on the best checkpoint; sample",
-        "efficiency = first iteration whose mean train reward reaches the",
-        "level. All runs: ONE v5e chip, identical algorithm (TRPL) and",
-        "task hyperparameters, model swapped.",
-        "",
-    ]
-    for title, runs, levels in GROUPS:
+def build_tables(groups, header_lines, row_kind):
+    out = list(header_lines) + [""]
+    for title, runs, levels in groups:
         out += [f"## {title}", ""]
-        hdr = ["model", "success", "min per-shape", "mean final dist"]
+        hdr = [row_kind, "success", "min per-shape", "mean final dist"]
         hdr += [f"frames→R≥{lvl:g}" for lvl in levels]
         hdr += ["s/iter"]
         out.append("| " + " | ".join(hdr) + " |")
@@ -112,11 +122,51 @@ def main():
             cells += [f"{sum(iter_times)/max(len(iter_times),1):.1f}"]
             out.append("| " + " | ".join(cells) + " |")
         out.append("")
-    path = os.path.join(REPO, "docs", "MODEL_COMPARISON.md")
+    return out
+
+
+def write(name, lines):
+    path = os.path.join(REPO, "docs", name)
     with open(path, "w") as f:
-        f.write("\n".join(out) + "\n")
+        f.write("\n".join(lines) + "\n")
     print(f"wrote {path}")
-    print("\n".join(out))
+    print("\n".join(lines))
+
+
+def main():
+    write(
+        "MODEL_COMPARISON.md",
+        build_tables(
+            GROUPS,
+            [
+                "# HEPi vs baselines — full-budget comparison",
+                "",
+                "Full-budget training runs at the reference budgets (the paper's",
+                "central comparison: equivariant HEPi vs non-equivariant EMPN /",
+                "Transformer). Deterministic eval on the best checkpoint; sample",
+                "efficiency = first iteration whose mean train reward reaches the",
+                "level. All runs: ONE v5e chip, identical algorithm (TRPL) and",
+                "task hyperparameters, model swapped.",
+            ],
+            "model",
+        ),
+    )
+    write(
+        "ALGO_COMPARISON.md",
+        build_tables(
+            ALGO_GROUPS,
+            [
+                "# Algorithm families — full-budget comparison",
+                "",
+                "All three registered algorithm families (TRPL, KL-penalty PPO,",
+                "clipped PPO — reference configs/algorithm/{trpl,kl_ppo,ppo}.yaml)",
+                "trained at the flagship budget with the HEPi policy on",
+                "rigid_insertion; deterministic eval on the best checkpoint.",
+                "Task/model hyperparameters identical, objective swapped.",
+            ],
+            "algorithm",
+        ),
+    )
 
 
 if __name__ == "__main__":
