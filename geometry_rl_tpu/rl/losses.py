@@ -134,6 +134,11 @@ def trpl_loss(
     return actor_loss, critic_loss, metrics
 
 
+# Adaptive-beta band for kl_pen_ppo_loss (see clamp note inside the function).
+KL_PEN_BETA_MIN = 1e-2
+KL_PEN_BETA_MAX = 1e6
+
+
 def kl_pen_ppo_loss(
     new_dist: DiagGaussian,
     old_dist: DiagGaussian,
@@ -198,6 +203,15 @@ def kl_pen_ppo_loss(
         beta * increment,
         jnp.where(kl_mean < dtarg / 1.5, beta * decrement, beta),
     )
+    # Clamp to a positive band. torchrl adapts an unclamped python float, but
+    # here beta lives in fp32 on-device and is multiplied by `decrement` once
+    # per MINIBATCH (hundreds of times per iteration): a long low-KL stretch
+    # underflows it to exactly 0.0, which is absorbing (0 * increment == 0) —
+    # the penalty then vanishes permanently and the unclipped surrogate
+    # diverges (measured: docs/r5_kl_ppo_insertion.log, beta 0 from iter ~6,
+    # KL -> 5e2). The floor keeps recovery fast (~2^16 doublings from 1e-2
+    # to a dominating penalty within one epoch); the ceiling prevents inf.
+    new_beta = jnp.clip(new_beta, KL_PEN_BETA_MIN, KL_PEN_BETA_MAX)
 
     metrics = {
         "loss_objective": -gain.mean(),

@@ -81,6 +81,41 @@ else
   echo "[r5-2afu] sweep rc=$? run=$run $(date)" >> "$LOG"
   cp "$run"/eval.json docs/runs_two_agents_fix_r5_sweep.json 2>/dev/null
 fi
+# 2.5 kl_ppo retry (VERDICT item 4). The first 20M attempt diverged on an
+#     fp32 beta underflow-to-zero (absorbing: penalty vanished, KL -> 5e2 —
+#     docs/r5_kl_ppo_insertion.log); the loss now clamps beta to
+#     [1e-2, 1e6] (rl/losses.py). Stabilizers: the same measured std floor +
+#     grad clip shipped for two-agents (1/sigma^2 TR/KL curvature blowups).
+#     Needs ~55 min (train ~40 + eval ~12).
+KLPPO_DEADLINE=$(date -d '2026-08-19 19:55 UTC' +%s)
+if [ "$(now)" -gt "$KLPPO_DEADLINE" ]; then
+  echo "[r5:kl_ppo2] SKIP past deadline $(date)" >> "$LOG"
+else
+  echo "[r5:kl_ppo2] train start $(date)" >> "$LOG"
+  timeout 4200 python -m geometry_rl_tpu.train.cli \
+    --config rigid_insertion_multi_hepi_trpl \
+    --override logger.log_dir=logs/r5_kl_ppo_insertion \
+      logger.checkpoint.save_interval=20 \
+      collector.total_frames=20480000 \
+      env.num_envs=1024 env.kwargs.warmup_steps=0 \
+      collector.frames_per_batch=102400 \
+      algo=kl_ppo \
+      algorithm.policy.minimal_std=0.05 \
+      algorithm.objective.clip_grad_norm=true \
+      algorithm.objective.max_grad_norm=1.0 \
+    > docs/r5_kl_ppo_insertion.log 2>&1
+  echo "[r5:kl_ppo2] train rc=$? $(date)" >> "$LOG"
+  klrun=$(ls -d logs/r5_kl_ppo_insertion/* 2>/dev/null | tail -1)
+  if [ -n "${klrun:-}" ] && [ -d "$klrun/best" ]; then
+    timeout 2400 python scripts/eval_breakdown.py --run-dir "$klrun" \
+      --threshold 0.1 --out docs/r5_kl_ppo_insertion_eval.json \
+      >> docs/r5_kl_ppo_insertion.log 2>&1
+    echo "[r5:kl_ppo2] eval rc=$? run=$klrun" >> "$LOG"
+    mkdir -p docs/runs/r5_kl_ppo_insertion
+    cp "$klrun"/metrics.jsonl "$klrun"/hparams.json docs/runs/r5_kl_ppo_insertion/ 2>/dev/null
+  fi
+fi
+
 # 3-4. cheap flagship scoreboard refreshes on shipped code (VERDICT item 9):
 #      cloth_hanging 5M (~14 min) and rope_closing 4M (~12 min), eval via
 #      play (both tasks expose object_target_distance).
@@ -107,6 +142,6 @@ refresh() {
   cp "$rdir"/metrics.jsonl "$rdir"/hparams.json "docs/runs/r5_$name/" 2>/dev/null
 }
 refresh cloth_hanging cloth_hanging_multi_hepi_trpl 0.2 "20:35"
-refresh rope_closing rope_closing_hepi_trpl 0.1 "20:50"
+refresh rope_closing rope_closing_hepi_trpl 0.1 "20:40"
 
 echo "[r5-2afu] done $(date)" >> "$LOG"

@@ -280,6 +280,46 @@ def test_kl_pen_beta_adapts():
     assert float(b_mid) == 2.0
 
 
+def test_kl_pen_beta_cannot_underflow_to_absorbing_zero():
+    """Regression (docs/r5_kl_ppo_insertion.log): beta is halved once per
+    MINIBATCH; a long low-KL stretch in fp32 underflowed it to exactly 0.0,
+    which is absorbing (0*increment == 0) — the penalty vanished permanently
+    and the unclipped surrogate diverged (KL -> 5e2). beta must stay in
+    [KL_PEN_BETA_MIN, KL_PEN_BETA_MAX] and recover upward from the floor."""
+    from geometry_rl_tpu.rl.losses import KL_PEN_BETA_MAX, KL_PEN_BETA_MIN
+
+    n, d = 16, 3
+    mean = jnp.zeros((n, d))
+    std = jnp.ones((n, d))
+    old = G.DiagGaussian(mean, std)
+    action = jnp.zeros((n, d))
+    inputs = LossInputs(
+        action=action,
+        sample_log_prob=G.log_prob(old, action),
+        advantage=jnp.ones((n,)),
+        value_target=jnp.zeros((n,)),
+        old_value=jnp.zeros((n,)),
+    )
+    value = jnp.zeros((n,))
+
+    # 600 consecutive low-KL minibatches (more halvings than fp32 can hold)
+    beta = jnp.asarray(1.0, dtype=jnp.float32)
+    for _ in range(600):
+        _, _, beta, _ = kl_pen_ppo_loss(old, old, value, inputs, beta, dtarg=0.01)
+    assert float(beta) == float(np.float32(KL_PEN_BETA_MIN)) > 0.0
+
+    # one high-KL stretch recovers it geometrically (not stuck at the floor)
+    far = G.DiagGaussian(mean + 3.0, std)
+    for _ in range(40):
+        _, _, beta, _ = kl_pen_ppo_loss(far, old, value, inputs, beta, dtarg=0.01)
+    assert float(beta) > 1e3
+
+    # and the ceiling holds under unbounded growth
+    for _ in range(100):
+        _, _, beta, _ = kl_pen_ppo_loss(far, old, value, inputs, beta, dtarg=0.01)
+    assert float(beta) == float(np.float32(KL_PEN_BETA_MAX)) and np.isfinite(float(beta))
+
+
 def test_kl_pen_penalty_direction():
     """The beta*KL term must penalize moving away from the old policy:
     grad of the actor loss w.r.t. the new mean grows with beta."""
