@@ -87,7 +87,7 @@ fi
 #     [1e-2, 1e6] (rl/losses.py). Stabilizers: the same measured std floor +
 #     grad clip shipped for two-agents (1/sigma^2 TR/KL curvature blowups).
 #     Needs ~55 min (train ~40 + eval ~12).
-KLPPO_DEADLINE=$(date -d '2026-08-19 19:55 UTC' +%s)
+KLPPO_DEADLINE=$(date -d '2026-08-19 20:10 UTC' +%s)
 if [ "$(now)" -gt "$KLPPO_DEADLINE" ]; then
   echo "[r5:kl_ppo2] SKIP past deadline $(date)" >> "$LOG"
 else
