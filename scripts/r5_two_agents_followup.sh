@@ -12,12 +12,14 @@ cd /root/repo
 LOG=docs/r5_queue.log
 
 # Per-stage deadline guards: no stage may START if it could still be holding
-# the exclusive chip when the driver's end-of-round bench runs (~21:15 UTC).
+# the exclusive chip when the driver's end-of-round bench runs. Round 3
+# started 2026-08-19 17:40 UTC and runs ~12 h -> driver bench ~05:40 UTC;
+# all chip work must be done by ~04:30 UTC on 2026-08-20.
 # Stage duration bounds: BC ~15 min, continuation+eval ~75 min, sweep ~35 min.
 now() { date +%s; }
-BC_DEADLINE=$(date -d '2026-08-19 20:50 UTC' +%s)
-CONT_DEADLINE=$(date -d '2026-08-19 19:45 UTC' +%s)
-SWEEP_DEADLINE=$(date -d '2026-08-19 20:25 UTC' +%s)
+BC_DEADLINE=$(date -d '2026-08-20 03:40 UTC' +%s)
+CONT_DEADLINE=$(date -d '2026-08-20 02:30 UTC' +%s)
+SWEEP_DEADLINE=$(date -d '2026-08-20 03:10 UTC' +%s)
 
 # 0. BC rerun. Reuses the already-recorded data.npz from the 99.7% flagship —
 #    training + eval only, ~10 min of chip time. --checkpoint restores the
@@ -87,7 +89,7 @@ fi
 #     [1e-2, 1e6] (rl/losses.py). Stabilizers: the same measured std floor +
 #     grad clip shipped for two-agents (1/sigma^2 TR/KL curvature blowups).
 #     Needs ~55 min (train ~40 + eval ~12).
-KLPPO_DEADLINE=$(date -d '2026-08-19 20:10 UTC' +%s)
+KLPPO_DEADLINE=$(date -d '2026-08-20 02:45 UTC' +%s)
 if [ "$(now)" -gt "$KLPPO_DEADLINE" ]; then
   echo "[r5:kl_ppo2] SKIP past deadline $(date)" >> "$LOG"
 else
@@ -122,7 +124,7 @@ fi
 refresh() {
   # name cfg threshold deadline_hhmm
   local name=$1 cfg=$2 thr=$3 dl=$4
-  if [ "$(now)" -gt "$(date -d "2026-08-19 $dl UTC" +%s)" ]; then
+  if [ "$(now)" -gt "$(date -d "$dl UTC" +%s)" ]; then
     echo "[r5:$name] SKIP past deadline $(date)" >> "$LOG"
     return 0
   fi
@@ -141,7 +143,7 @@ refresh() {
   mkdir -p "docs/runs/r5_$name"
   cp "$rdir"/metrics.jsonl "$rdir"/hparams.json "docs/runs/r5_$name/" 2>/dev/null
 }
-refresh cloth_hanging cloth_hanging_multi_hepi_trpl 0.2 "20:35"
-refresh rope_closing rope_closing_hepi_trpl 0.1 "20:40"
+refresh cloth_hanging cloth_hanging_multi_hepi_trpl 0.2 "2026-08-20 03:50"
+refresh rope_closing rope_closing_hepi_trpl 0.1 "2026-08-20 03:55"
 
 echo "[r5-2afu] done $(date)" >> "$LOG"
