@@ -43,6 +43,27 @@ GROUPS = [
         ],
         [-150.0, -110.0],
     ),
+    (
+        "rigid_pushing (30M frames)",
+        [
+            # HEPi: prefer the round-3 shipped-code refresh, else the r2 flagship
+            ("HEPi", "docs/runs/r6_pushing_hepi", "docs/r6_pushing_hepi_eval.json"),
+            ("HEPi (r2)", "docs/runs/r2_pushing", "docs/runs/r2_pushing/eval_breakdown.json"),
+            ("EMPN", "docs/runs/r6_pushing_empn", "docs/r6_pushing_empn_eval.json"),
+            ("Transformer", "docs/runs/r6_pushing_transformer", "docs/r6_pushing_transformer_eval.json"),
+        ],
+        [-40.0, -25.0],
+    ),
+    (
+        "rigid_insertion_two_agents (reference budget 10M; HEPi row is the 15M KL-stability-fix run)",
+        [
+            # HEPi: the round-3 KL-stability-fix run is the task's defaults now
+            ("HEPi", "docs/runs/r5_two_agents_fix", "docs/runs_two_agents_fix_r5_eval.json"),
+            ("EMPN", "docs/runs/r6_two_agents_empn", "docs/r6_two_agents_empn_eval.json"),
+            ("Transformer", "docs/runs/r6_two_agents_transformer", "docs/r6_two_agents_transformer_eval.json"),
+        ],
+        [-45.0, -32.0],
+    ),
 ]
 
 
