@@ -54,6 +54,22 @@ run_stage() {
   cp "$rdir"/metrics.jsonl "$rdir"/hparams.json "docs/runs/r6_$name/" 2>/dev/null
 }
 
+# 0. rescue: the ppo_insertion train hit a relay stall at iter 167/200
+# (~17:47 UTC); if its timeout killed the run, the best checkpoint (iter
+# <=160) is saved but uneval'd — produce the eval artifact here.
+if [ ! -f docs/r5_ppo_insertion_eval.json ]; then
+  pr=$(ls -d logs/r5_ppo_insertion/* 2>/dev/null | tail -1)
+  if [ -n "${pr:-}" ] && [ -d "$pr/best" ]; then
+    echo "[r6:ppo_rescue] eval start run=$pr $(date)" >> "$LOG"
+    timeout 2400 python scripts/eval_breakdown.py --run-dir "$pr" \
+      --threshold 0.1 --out docs/r5_ppo_insertion_eval.json \
+      >> docs/r5_ppo_insertion.log 2>&1
+    echo "[r6:ppo_rescue] eval rc=$? $(date)" >> "$LOG"
+    mkdir -p docs/runs/r5_ppo_insertion
+    cp "$pr"/metrics.jsonl "$pr"/hparams.json docs/runs/r5_ppo_insertion/ 2>/dev/null
+  fi
+fi
+
 # 1-4. remaining task x model matrix at reference budgets (value order:
 # short runs first; the ~105-min EMPN pushing run last of the four so a
 # late start drops it rather than the others)
