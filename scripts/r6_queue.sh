@@ -54,19 +54,38 @@ run_stage() {
   cp "$rdir"/metrics.jsonl "$rdir"/hparams.json "docs/runs/r6_$name/" 2>/dev/null
 }
 
-# 0. rescue: the ppo_insertion train hit a relay stall at iter 167/200
-# (~17:47 UTC); if its timeout killed the run, the best checkpoint (iter
-# <=160) is saved but uneval'd — produce the eval artifact here.
+# 0. rescue: the ppo_insertion train hit a ~40-min relay stall at iter 167
+# and its timeout killed it at iter ~196/200 (checkpoints through 180 +
+# best@186 saved). Resume from the last checkpoint to the full 20.48M
+# budget (~20 iters, ~5 min), then eval.
 if [ ! -f docs/r5_ppo_insertion_eval.json ]; then
   pr=$(ls -d logs/r5_ppo_insertion/* 2>/dev/null | tail -1)
-  if [ -n "${pr:-}" ] && [ -d "$pr/best" ]; then
-    echo "[r6:ppo_rescue] eval start run=$pr $(date)" >> "$LOG"
-    timeout 2400 python scripts/eval_breakdown.py --run-dir "$pr" \
+  if [ -n "${pr:-}" ] && [ -d "$pr/checkpoints" ]; then
+    echo "[r6:ppo_rescue] resume-finish start run=$pr $(date)" >> "$LOG"
+    timeout 2400 python -m geometry_rl_tpu.train.cli \
+      --config rigid_insertion_multi_hepi_trpl \
+      --override logger.log_dir=logs/r6_ppo_finish \
+        logger.checkpoint.save_interval=20 \
+        collector.total_frames=20480000 \
+        env.num_envs=1024 env.kwargs.warmup_steps=0 \
+        collector.frames_per_batch=102400 \
+        algo=ppo \
+      --resume "$pr/checkpoints" \
+      >> docs/r5_ppo_insertion.log 2>&1
+    rc=$?
+    echo "[r6:ppo_rescue] resume-finish rc=$rc $(date)" >> "$LOG"
+    fr=$(ls -d logs/r6_ppo_finish/* 2>/dev/null | tail -1)
+    # eval the finished run if it exists, else the stalled run's best@186
+    tgt=${fr:-$pr}
+    timeout 2400 python scripts/eval_breakdown.py --run-dir "$tgt" \
       --threshold 0.1 --out docs/r5_ppo_insertion_eval.json \
       >> docs/r5_ppo_insertion.log 2>&1
-    echo "[r6:ppo_rescue] eval rc=$? $(date)" >> "$LOG"
+    echo "[r6:ppo_rescue] eval rc=$? run=$tgt $(date)" >> "$LOG"
     mkdir -p docs/runs/r5_ppo_insertion
     cp "$pr"/metrics.jsonl "$pr"/hparams.json docs/runs/r5_ppo_insertion/ 2>/dev/null
+    if [ -n "${fr:-}" ]; then
+      cp "$fr"/metrics.jsonl docs/runs/r5_ppo_insertion/metrics_finish.jsonl 2>/dev/null
+    fi
   fi
 fi
 
