@@ -184,6 +184,12 @@ def main():
                 "trained at the flagship budget with the HEPi policy on",
                 "rigid_insertion; deterministic eval on the best checkpoint.",
                 "Task/model hyperparameters identical, objective swapped.",
+                "",
+                "kl_ppo post-mortem: the first 20M attempt diverged when the",
+                "adaptive beta underflowed to an absorbing fp32 zero (penalty",
+                "vanished, KL -> 5e2); fixed by clamping beta to [1e-2, 1e6]",
+                "(rl/losses.py, regression-tested) and retried with the",
+                "measured std-floor + grad-clip stabilizers.",
             ],
             "algorithm",
         ),
