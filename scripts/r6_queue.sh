@@ -89,6 +89,16 @@ if [ ! -f docs/r5_ppo_insertion_eval.json ]; then
   fi
 fi
 
+# 0.5. two-agents seed variance (VERDICT item 1): the stable-config runs
+# land 85.6-88.9% vs the unstable r1 run's 90.8%; 30M frames did not move
+# the 15M result (85.6% vs 86.5%, T ~61% in both). A second seed tests
+# whether 90.8% was seed luck. Runs the full train+eval+sweep script.
+if [ "$(now)" -lt "$(date -d '2026-08-20 02:40 UTC' +%s)" ]; then
+  bash scripts/r6_two_agents_seed2.sh
+else
+  echo "[r6:2a_seed2] SKIP past start deadline $(date)" >> "$LOG"
+fi
+
 # 1-4. remaining task x model matrix at reference budgets (value order:
 # short runs first; the ~105-min EMPN pushing run last of the four so a
 # late start drops it rather than the others)
