@@ -128,6 +128,8 @@ def trpl_loss(
         "entropy": entropy.mean(),
         "ESS": _ess(log_weight),
         "value_clip_fraction": clip_fraction,
+        "policy_std": new_dist.std.mean(),
+        "policy_std_min": new_dist.std.min(),
     }
     # constraint metrics vs the projected dist (trpl.py:318: p vs proj_p)
     metrics.update(projection.compute_metrics(new_dist, proj_dist))
@@ -221,7 +223,10 @@ def kl_pen_ppo_loss(
         "ESS": _ess(log_weight),
         "kl": kl_mean,
         "kl_penalty_beta": beta,
+        "kl_penalty_beta_max": beta,
         "value_clip_fraction": clip_fraction,
+        "policy_std": new_dist.std.mean(),
+        "policy_std_min": new_dist.std.min(),
     }
     return actor_loss, critic_loss, new_beta, metrics
 
@@ -275,5 +280,7 @@ def ppo_clip_loss(
         "ESS": _ess(log_weight),
         "clip_fraction": jnp.mean((gain2 < gain1).astype(value.dtype)),
         "value_clip_fraction": clip_fraction,
+        "policy_std": new_dist.std.mean(),
+        "policy_std_min": new_dist.std.min(),
     }
     return actor_loss, critic_loss, metrics

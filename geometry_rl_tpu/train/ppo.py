@@ -370,6 +370,13 @@ class Trainer:
                 (g_actor, g_critic), (metrics, kl_beta) = grad_fn(
                     actor_params, critic_params, mb, num_updates, state.initial_entropy, kl_beta
                 )
+                # pre-clip gradient magnitude (diagnosis instrumentation:
+                # collapse/spike signatures — docs/TWO_AGENTS_NOTES.md,
+                # ALGO_COMPARISON kl_ppo post-mortem). `_max` aggregates as a
+                # true max over the epoch*minibatch stack below.
+                gn = optax.global_norm(g_actor)
+                metrics["grad_norm_actor"] = gn
+                metrics["grad_norm_actor_max"] = gn
                 a_up, actor_opt = self.actor_tx.update(g_actor, actor_opt, actor_params)
                 c_up, critic_opt = self.critic_tx.update(g_critic, critic_opt, critic_params)
                 if lr_scale is not None:

@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.1)
     ap.add_argument("--override", nargs="*", default=[], help="dot.key=value config overrides (e.g. env.kwargs.hole_split=test)")
     ap.add_argument("--out", default="eval_breakdown.json")
+    ap.add_argument(
+        "--save-distances",
+        action="store_true",
+        help="also dump per-episode final distances + shape names into the json "
+        "(post-hoc success-threshold sweeps / per-shape histograms without re-rolling)",
+    )
     args = ap.parse_args()
 
     from geometry_rl_tpu.config import load_config, trainer_from_config
@@ -92,12 +98,17 @@ def main():
         "success_rate": round(float((final_d < args.threshold).mean()), 4),
     }
     print(json.dumps({"overall": overall, "per_shape": report}, indent=2))
+    payload = {"overall": overall, "per_shape": report}
+    if args.save_distances:
+        payload["final_distances"] = [round(float(d), 5) for d in final_d]
+        if hasattr(env, "shape_ids"):
+            payload["final_shapes"] = [names[int(s)] for s in final_shape]
     # Paths with a directory component are taken as given (relative to cwd);
     # bare filenames land inside the run dir.
     out = args.out if os.sep in args.out else os.path.join(args.run_dir, args.out)
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
-        json.dump({"overall": overall, "per_shape": report}, f, indent=2)
+        json.dump(payload, f, indent=2)
     print("wrote", out)
 
 
