@@ -1,0 +1,39 @@
+# Shared helpers for the round-4 chip queue (sourced by scripts/r8_stages/*).
+# Strictly serial — the axon relay is exclusive (a second JAX client blocks
+# in backend init). Every run: train -> eval_breakdown -> copy artifacts
+# into docs/ (reset-proof: logs/ is wiped between rounds, docs/ survives).
+LOG=docs/r8_queue.log
+
+r8_train_eval() {
+  # name cfg timeout threshold extra_overrides...
+  local name=$1 cfg=$2 tmo=$3 thr=$4; shift 4
+  echo "[r8:$name] train start $(date)" >> "$LOG"
+  timeout "$tmo" python -m geometry_rl_tpu.train.cli \
+    --config "$cfg" \
+    --override "logger.log_dir=logs/r8_$name" \
+      logger.checkpoint.save_interval=20 "$@" \
+    > "docs/r8_${name}.log" 2>&1
+  echo "[r8:$name] train rc=$? $(date)" >> "$LOG"
+  local run
+  run=$(ls -d logs/r8_$name/* 2>/dev/null | tail -1)
+  [ -z "${run:-}" ] && { echo "[r8:$name] NO RUN DIR $(date)" >> "$LOG"; return 0; }
+  timeout 2400 python scripts/eval_breakdown.py --run-dir "$run" \
+    --threshold "$thr" --save-distances --out "docs/r8_${name}_eval.json" \
+    >> "docs/r8_${name}.log" 2>&1
+  echo "[r8:$name] eval rc=$? run=$run $(date)" >> "$LOG"
+  mkdir -p "docs/runs/r8_$name"
+  cp "$run"/metrics.jsonl "$run"/hparams.json "docs/runs/r8_$name/" 2>/dev/null
+}
+
+r8_ckpt_sweep() {
+  # name  (all-checkpoints eval sweep on the last run of logs/r8_<name>)
+  local name=$1
+  local run
+  run=$(ls -d logs/r8_$name/* 2>/dev/null | tail -1)
+  [ -z "${run:-}" ] && return 0
+  timeout 2400 python -m geometry_rl_tpu.train.play --run-dir "$run" \
+    --all-checkpoints --episodes-steps 400 --success-threshold 0.1 \
+    > "docs/r8_${name}_sweep.log" 2>&1
+  echo "[r8:$name] sweep rc=$? $(date)" >> "$LOG"
+  cp "$run"/eval.json "docs/r8_${name}_sweep.json" 2>/dev/null
+}
