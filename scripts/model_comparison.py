@@ -35,8 +35,8 @@ GROUPS = [
     (
         "cloth_hanging (5M frames)",
         [
-            # HEPi: prefer the round-3 shipped-code refresh, else the r2 flagship
-            ("HEPi", "docs/runs/r5_cloth_hanging", "docs/r5_cloth_hanging_eval.json"),
+            # HEPi: prefer the round-4 shipped-code refresh, else the r2 flagship
+            ("HEPi", "docs/runs/r8_cloth_seed0", "docs/r8_cloth_seed0_eval.json"),
             ("HEPi (r2)", "docs/runs/r2_cloth", "docs/runs/r2_cloth/eval_breakdown.json"),
             ("EMPN", "docs/runs/r5_empn_cloth", "docs/r5_empn_cloth_eval.json"),
             ("Transformer", "docs/runs/r5_transformer_cloth", "docs/r5_transformer_cloth_eval.json"),
@@ -46,21 +46,23 @@ GROUPS = [
     (
         "rigid_pushing (30M frames)",
         [
-            # HEPi: prefer the round-3 shipped-code refresh, else the r2 flagship
-            ("HEPi", "docs/runs/r6_pushing_hepi", "docs/r6_pushing_hepi_eval.json"),
+            # HEPi: prefer the round-4 shipped-code refresh, else the r2 flagship
+            ("HEPi", "docs/runs/r8_pushing_hepi", "docs/r8_pushing_hepi_eval.json"),
             ("HEPi (r2)", "docs/runs/r2_pushing", "docs/runs/r2_pushing/eval_breakdown.json"),
-            ("EMPN", "docs/runs/r6_pushing_empn", "docs/r6_pushing_empn_eval.json"),
-            ("Transformer", "docs/runs/r6_pushing_transformer", "docs/r6_pushing_transformer_eval.json"),
+            ("EMPN", "docs/runs/r8_pushing_empn", "docs/r8_pushing_empn_eval.json"),
+            ("Transformer", "docs/runs/r8_pushing_transformer", "docs/r8_pushing_transformer_eval.json"),
         ],
         [-40.0, -25.0],
     ),
     (
-        "rigid_insertion_two_agents (reference budget 10M; HEPi row is the 15M KL-stability-fix run)",
+        "rigid_insertion_two_agents (reference budget 10M; the @15M row is the "
+        "round-3 KL-stability-fix flagship, kept for continuity)",
         [
-            # HEPi: the round-3 KL-stability-fix run is the task's defaults now
-            ("HEPi", "docs/runs/r5_two_agents_fix", "docs/runs_two_agents_fix_r5_eval.json"),
-            ("EMPN", "docs/runs/r6_two_agents_empn", "docs/r6_two_agents_empn_eval.json"),
-            ("Transformer", "docs/runs/r6_two_agents_transformer", "docs/r6_two_agents_transformer_eval.json"),
+            # distinct base labels so BOTH HEPi budgets render as rows
+            ("HEPi @10M", "docs/runs/r8_two_agents_hepi10", "docs/r8_two_agents_hepi10_eval.json"),
+            ("HEPi @15M", "docs/runs/r5_two_agents_fix", "docs/runs_two_agents_fix_r5_eval.json"),
+            ("EMPN", "docs/runs/r8_two_agents_empn", "docs/r8_two_agents_empn_eval.json"),
+            ("Transformer", "docs/runs/r8_two_agents_transformer", "docs/r8_two_agents_transformer_eval.json"),
         ],
         [-45.0, -32.0],
     ),
@@ -76,8 +78,8 @@ ALGO_GROUPS = [
         "rigid_insertion, HEPi policy (20.48M frames)",
         [
             ("TRPL", "docs/runs/r5_hepi_insertion", "docs/r5_hepi_insertion_eval.json"),
-            ("kl_ppo", "docs/runs/r5_kl_ppo_insertion", "docs/r5_kl_ppo_insertion_eval.json"),
-            ("PPO (clip)", "docs/runs/r5_ppo_insertion", "docs/r5_ppo_insertion_eval.json"),
+            ("kl_ppo", "docs/runs/r8_kl_ppo_insertion", "docs/r8_kl_ppo_insertion_eval.json"),
+            ("PPO (clip)", "docs/runs/r7_ppo_insertion", "docs/r7_ppo_insertion_eval.json"),
         ],
         [-35.0, -30.0, -27.0],
     ),
@@ -188,8 +190,16 @@ def main():
                 "kl_ppo post-mortem: the first 20M attempt diverged when the",
                 "adaptive beta underflowed to an absorbing fp32 zero (penalty",
                 "vanished, KL -> 5e2); fixed by clamping beta to [1e-2, 1e6]",
-                "(rl/losses.py, regression-tested) and retried with the",
-                "measured std-floor + grad-clip stabilizers.",
+                "(rl/losses.py, regression-tested). The clamped retry then",
+                "PLATEAUED at train reward ~-98 with KL pinned at dtarg=0.01",
+                "(docs/r5_kl_ppo_insertion.log) — root-cause analysis in",
+                "docs/KL_PPO_NOTES.md; the row below is the instrumented rerun.",
+                "",
+                "PPO row: the 20M run hit its wall-clock timeout at 17.3M frames",
+                "(train reward -26.9, within noise of TRPL's plateau); eval is",
+                "the best checkpoint. Clipped PPO matches TRPL to within 0.3 pp",
+                "here — consistent with the reference's framing of TRPL as the",
+                "more stable, not necessarily higher-asymptote, choice.",
             ],
             "algorithm",
         ),
