@@ -7,7 +7,16 @@ LOG=docs/r8_queue.log
 r8_train_eval() {
   # name cfg timeout threshold extra_overrides...
   local name=$1 cfg=$2 tmo=$3 thr=$4; shift 4
-  echo "[r8:$name] train start $(date)" >> "$LOG"
+  # Clamp train time so the stage can never overrun the queue deadline into
+  # the driver's end-of-round bench window (leave 35 min for eval + bench).
+  local dl="${R8_DEADLINE:-$(date -d '2026-08-20 20:15 UTC' +%s)}"
+  local room=$(( dl - $(date +%s) - 2100 ))
+  if [ "$room" -lt 300 ]; then
+    echo "[r8:$name] SKIP: only ${room}s left before deadline $(date)" >> "$LOG"
+    return 0
+  fi
+  [ "$tmo" -gt "$room" ] && tmo=$room
+  echo "[r8:$name] train start (tmo=${tmo}s) $(date)" >> "$LOG"
   timeout "$tmo" python -m geometry_rl_tpu.train.cli \
     --config "$cfg" \
     --override "logger.log_dir=logs/r8_$name" \
