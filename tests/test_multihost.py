@@ -111,10 +111,12 @@ def test_two_process_cli_matches_single_process(tmp_path):
         for k, v_ref in row_ref.items():
             if k in ("wall_time", "train/iteration_time"):
                 continue
-            if k.endswith("_max"):
-                # order statistics: the max is set by ONE sample, so the
-                # cross-process f32 reassociation noise of that single value
-                # (~1e-2 relative) is not averaged down like the means are
+            if k.endswith("_max") or k.endswith("_min") or k.startswith("grad_norm"):
+                # order statistics (max/min set by ONE sample) and global
+                # gradient norms (sqrt of a sum over EVERY parameter — the
+                # full parameter-space Gloo reassociation noise lands in one
+                # scalar, measured ~1.5e-3 relative) are not averaged down
+                # like the mean metrics are
                 a, r = (1e-3, 2e-2)
             else:
                 a, r = atol, rtol
