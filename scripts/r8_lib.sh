@@ -16,6 +16,21 @@ r8_train_eval() {
     return 0
   fi
   [ "$tmo" -gt "$room" ] && tmo=$room
+  # Relay-stall gate: when the axon tunnel is wedged, a client blocks in
+  # backend init using no CPU and the stage would burn its whole timeout
+  # learning nothing (observed 10:14 UTC today; also r5 iter-167 stall).
+  # Between stages no client is connected, so a cheap probe distinguishes
+  # healthy (devices print within 2 min) from stalled; park in 5-min probe
+  # cycles until it clears or the deadline nears.
+  while ! timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+    echo "[r8:$name] relay probe FAILED, parking 5 min $(date)" >> "$LOG"
+    sleep 300
+    if [ "$(( dl - $(date +%s) - 2100 ))" -lt 300 ]; then
+      echo "[r8:$name] SKIP: relay still stalled at deadline $(date)" >> "$LOG"
+      return 0
+    fi
+  done
+  room=$(( dl - $(date +%s) - 2100 )); [ "$tmo" -gt "$room" ] && tmo=$room
   echo "[r8:$name] train start (tmo=${tmo}s) $(date)" >> "$LOG"
   timeout "$tmo" python -m geometry_rl_tpu.train.cli \
     --config "$cfg" \
