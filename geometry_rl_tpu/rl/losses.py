@@ -184,7 +184,11 @@ def kl_pen_ppo_loss(
     log_weight = log_prob - inputs.sample_log_prob
 
     gain = jnp.exp(log_weight) * advantage
-    kl_mean = G.kl(old_dist, new_dist).mean()
+    # mean/cov decomposition: a scalar KL penalty prices mu-movement and
+    # sigma-movement in one currency, so WHERE the budget goes is the
+    # diagnostic for the flagship plateau (docs/KL_PPO_NOTES.md h1)
+    kl_maha_part, kl_cov_part = G.kl_parts(old_dist, new_dist)
+    kl_mean = (kl_maha_part + kl_cov_part).mean()
     actor_loss = -gain.mean() + beta * kl_mean
 
     entropy = G.entropy(new_dist)
@@ -222,6 +226,8 @@ def kl_pen_ppo_loss(
         "entropy": entropy.mean(),
         "ESS": _ess(log_weight),
         "kl": kl_mean,
+        "kl_mean_part": kl_maha_part.mean(),
+        "kl_cov_part": kl_cov_part.mean(),
         "kl_penalty_beta": beta,
         "kl_penalty_beta_max": beta,
         "value_clip_fraction": clip_fraction,
