@@ -80,6 +80,11 @@ DEFAULTS: Dict[str, Any] = {
             "kl_beta": 1.0,
             "kl_increment": 2.0,
             "kl_decrement": 0.5,
+            "kl_beta_interval": "minibatch",  # torchrl adapts per loss call;
+            # "iteration" = Schulman (2017) semantics: beta fixed over the
+            # update phase, adapted once from the phase-final KL
+            # (docs/KL_PPO_NOTES.md — the per-minibatch controller is the
+            # measured driver of the flagship plateau)
             # PAPI post-update backtracking (proj_type=papi + non-contextual std)
             "papi_steps": False,
             "papi_history": 8,
@@ -206,6 +211,7 @@ def trainer_from_config(cfg: Dict):
         kl_beta=obj.get("kl_beta", 1.0),
         kl_increment=obj.get("kl_increment", 2.0),
         kl_decrement=obj.get("kl_decrement", 0.5),
+        kl_beta_interval=obj.get("kl_beta_interval", "minibatch"),
         papi_steps=obj.get("papi_steps", False),
         papi_history=obj.get("papi_history", 8),
         papi_iters=obj.get("papi_iters", 20),

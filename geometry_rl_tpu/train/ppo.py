@@ -60,6 +60,15 @@ class TrainConfig:
     kl_beta: float = 1.0
     kl_increment: float = 2.0
     kl_decrement: float = 0.5
+    # "minibatch": torchrl KLPENPPOLoss semantics (beta adapts on every loss
+    # call — hundreds of multiplicative updates per iteration). "iteration":
+    # Schulman (2017) semantics — beta held fixed over the whole update phase,
+    # adapted ONCE from the phase-final KL. The per-minibatch controller is a
+    # measured relaxation oscillator at flagship scale (beta ramps 0.01->1e5
+    # within an iteration, the penalty-gradient spike poisons Adam's second
+    # moment, the policy freezes for ~40 iterations while v decays — see
+    # docs/KL_PPO_NOTES.md).
+    kl_beta_interval: str = "minibatch"
     # PAPI post-update steps (papi_projection.py:151-245); requires
     # proj_type="papi" and a non-contextual-std policy with a Dense mean head
     papi_steps: bool = False
@@ -302,6 +311,10 @@ class Trainer:
                 normalize_advantage=cfg.normalize_advantage,
                 entropy_bonus=cfg.entropy_bonus,
             )
+            if cfg.kl_beta_interval == "iteration":
+                # Schulman semantics: beta is a constant of the update phase;
+                # the adapt step runs once per iteration in _update instead.
+                new_beta = kl_beta
             return actor_loss + critic_loss, (metrics, new_beta)
         else:
             clip_eps = cfg.clip_epsilon
@@ -406,6 +419,21 @@ class Trainer:
         (actor_params, critic_params, actor_opt, critic_opt, key, num_updates, kl_beta), metrics = jax.lax.scan(
             epoch_fn, carry0, None, length=cfg.ppo_epochs
         )
+        if cfg.algo == "kl_ppo" and cfg.kl_beta_interval == "iteration":
+            # Schulman (2017) adaptive-KL semantics: one beta update per
+            # iteration, driven by the phase-final KL (mean over the LAST
+            # epoch's minibatches — the distribution the next iteration
+            # actually starts from). Same thresholds/factors/clamp as the
+            # per-minibatch path (rl/losses.kl_pen_ppo_loss).
+            from ..rl.losses import KL_PEN_BETA_MAX, KL_PEN_BETA_MIN
+
+            kl_final = metrics["kl"][-1].mean()
+            kl_beta = jnp.where(
+                kl_final > cfg.dtarg * 1.5,
+                kl_beta * cfg.kl_increment,
+                jnp.where(kl_final < cfg.dtarg / 1.5, kl_beta * cfg.kl_decrement, kl_beta),
+            )
+            kl_beta = jnp.clip(kl_beta, KL_PEN_BETA_MIN, KL_PEN_BETA_MAX)
         # per-iteration aggregation over the [epochs, minibatches] metric
         # stacks: means, EXCEPT the *_max constraint metrics which aggregate
         # as true maxes — a mean-of-maxes dilutes a single-minibatch KL spike

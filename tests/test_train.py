@@ -111,6 +111,45 @@ def test_kl_ppo_algo_variant():
     assert np.isfinite(float(metrics["kl_penalty_beta"]))
 
 
+def test_kl_ppo_beta_interval_iteration():
+    """kl_beta_interval="iteration" (Schulman 2017 semantics): beta is a
+    constant of the update phase — every minibatch sees the SAME beta — and
+    adapts at most one increment/decrement factor per train_iteration, from
+    the phase-final KL. Contrast: the per-minibatch torchrl controller can
+    move beta by 2^(epochs*minibatches) within one iteration, the measured
+    relaxation-oscillator driver of the flagship plateau
+    (docs/KL_PPO_NOTES.md)."""
+    t = build_agent(
+        task="rigid_pushing",
+        model="transformer",
+        num_envs=4,
+        algo="kl_ppo",
+        latent_dim=16,
+        train_cfg=TrainConfig(
+            algo="kl_ppo",
+            steps_per_batch=4,
+            ppo_epochs=2,
+            mini_batch_size=8,
+            kl_beta_interval="iteration",
+        ),
+        env_kwargs={"episode_length": 8},
+    )
+    state = t.init(jax.random.PRNGKey(0))
+    b0 = float(state.kl_beta)
+    state, metrics = t.train_iteration(state)
+    b1 = float(state.kl_beta)
+    # logged beta (mean over minibatches) == beta max == the constant b0
+    assert float(metrics["kl_penalty_beta"]) == pytest.approx(b0)
+    assert float(metrics["kl_penalty_beta_max"]) == pytest.approx(b0)
+    # one adapt step: the new beta is b0 * one factor from {increment, 1, decrement}
+    assert any(
+        b1 == pytest.approx(max(min(b0 * f, 1e6), 1e-2)) for f in (2.0, 1.0, 0.5)
+    )
+    # second iteration: carried beta is the adapted one, still a phase constant
+    state, metrics = t.train_iteration(state)
+    assert float(metrics["kl_penalty_beta"]) == pytest.approx(b1)
+
+
 @pytest.mark.parametrize("task,model", [("rigid_sliding", "hepi"), ("rigid_insertion_two_agents", "hepi"), ("rope_shaping", "hepi"), ("rigid_insertion", "empn"), ("rigid_insertion", "gcn"), ("rigid_insertion", "meshgraphnet"), ("rigid_pushing", "mlp"), ("cloth_hanging", "mlp")])
 def test_all_tasks_and_models_train(task, model):
     """Every registered task x a spread of models completes a TRPL iteration."""
