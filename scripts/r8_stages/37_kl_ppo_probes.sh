@@ -20,6 +20,17 @@ probe() {
     echo "[r8:$name] SKIP: only ${room}s left $(date)" >> "$LOG"
     return 0
   fi
+  # relay-stall gate (same as r8_lib.sh r8_train_eval): park while the axon
+  # tunnel is wedged instead of burning the stage timeout blocked in init.
+  while ! timeout 120 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+    echo "[r8:$name] relay probe FAILED, parking 5 min $(date)" >> "$LOG"
+    sleep 300
+    if [ "$(( dl - $(date +%s) - 2100 ))" -lt 600 ]; then
+      echo "[r8:$name] SKIP: relay still stalled at deadline $(date)" >> "$LOG"
+      return 0
+    fi
+  done
+  room=$(( dl - $(date +%s) - 2100 ))
   local tmo=2400; [ "$tmo" -gt "$room" ] && tmo=$room
   echo "[r8:$name] train start (tmo=${tmo}s) $(date)" >> "$LOG"
   timeout "$tmo" python -m geometry_rl_tpu.train.cli \
