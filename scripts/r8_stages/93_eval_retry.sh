@@ -3,6 +3,8 @@
 for d in logs/r8_*; do
   [ -d "$d" ] || continue
   name=$(basename "$d"); name=${name#r8_}
+  # diagnostic probes are trajectory-only (docs/KL_PPO_NOTES.md) — no eval
+  case "$name" in kl_ppo_r5recipe|kl_ppo_schulman) continue;; esac
   [ -f "docs/r8_${name}_eval.json" ] && continue
   run=$(ls -d "$d"/* 2>/dev/null | tail -1)
   [ -z "${run:-}" ] && continue
