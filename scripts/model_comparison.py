@@ -141,8 +141,12 @@ def build_tables(groups, header_lines, row_kind):
                 f"{overall['mean_final_distance']:.4f}",
             ]
             cells += [fmt_frames(frames_to_reward(rows, lvl)) for lvl in levels]
-            iter_times = [r["train/iteration_time"] for r in rows[2:]]  # skip compile iters
-            cells += [f"{sum(iter_times)/max(len(iter_times),1):.1f}"]
+            iter_times = sorted(r["train/iteration_time"] for r in rows[2:])  # skip compile iters
+            # median, not mean: a wedged axon relay mid-run (e.g. the 42-min
+            # stall in the r8 kl_ppo run) lands in one iteration's wall time
+            # and would inflate a mean ~2x
+            med = iter_times[len(iter_times) // 2] if iter_times else 0.0
+            cells += [f"{med:.1f}"]
             out.append("| " + " | ".join(cells) + " |")
         out.append("")
     return out
