@@ -78,7 +78,8 @@ ALGO_GROUPS = [
         "rigid_insertion, HEPi policy (20.48M frames)",
         [
             ("TRPL", "docs/runs/r5_hepi_insertion", "docs/r5_hepi_insertion_eval.json"),
-            ("kl_ppo", "docs/runs/r8_kl_ppo_insertion", "docs/r8_kl_ppo_insertion_eval.json"),
+            ("kl_ppo (torchrl)", "docs/runs/r8_kl_ppo_insertion", "docs/r8_kl_ppo_insertion_eval.json"),
+            ("kl_ppo (fixed: Schulman β interval)", "docs/runs/r8_kl_ppo_fixed", "docs/r8_kl_ppo_fixed_eval.json"),
             ("PPO (clip)", "docs/runs/r7_ppo_insertion", "docs/r7_ppo_insertion_eval.json"),
         ],
         [-35.0, -30.0, -27.0],
@@ -191,13 +192,22 @@ def main():
                 "rigid_insertion; deterministic eval on the best checkpoint.",
                 "Task/model hyperparameters identical, objective swapped.",
                 "",
-                "kl_ppo post-mortem: the first 20M attempt diverged when the",
-                "adaptive beta underflowed to an absorbing fp32 zero (penalty",
-                "vanished, KL -> 5e2); fixed by clamping beta to [1e-2, 1e6]",
-                "(rl/losses.py, regression-tested). The clamped retry then",
-                "PLATEAUED at train reward ~-98 with KL pinned at dtarg=0.01",
-                "(docs/r5_kl_ppo_insertion.log) — root-cause analysis in",
-                "docs/KL_PPO_NOTES.md; the row below is the instrumented rerun.",
+                "kl_ppo (torchrl) row: the reference's KLPENPPOLoss semantics —",
+                "beta adapted multiplicatively on EVERY minibatch loss call —",
+                "is a measured relaxation oscillator at flagship scale: episodic",
+                "beta ramps to 1e5-1e6 spike the penalty gradient (up to 6.5e4),",
+                "poison Adam's second moment, and freeze the policy (ESS=1.0000,",
+                "KL=0.0000) for tens of iterations; it parks at the -104 'hover'",
+                "shelf and never inserts (0.0% eval). Full instrumented root",
+                "cause: docs/KL_PPO_NOTES.md.",
+                "",
+                "kl_ppo (fixed) row: identical recipe, one-line change —",
+                "algorithm.objective.kl_beta_interval=iteration restores",
+                "Schulman (2017) semantics (one beta adapt per update phase).",
+                "beta then sits at its ~1.0 equilibrium (never leaves [0.5,2]),",
+                "KL rides the dtarg band, and the family becomes the most",
+                "sample-efficient of the three (reward -30.9 @ 7.0M frames vs",
+                "TRPL 10.8M / clip-PPO 11.1M).",
                 "",
                 "PPO row: the 20M run hit its wall-clock timeout at 17.3M frames",
                 "(train reward -26.9, within noise of TRPL's plateau); eval is",
