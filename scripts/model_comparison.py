@@ -79,7 +79,7 @@ ALGO_GROUPS = [
         [
             ("TRPL", "docs/runs/r5_hepi_insertion", "docs/r5_hepi_insertion_eval.json"),
             ("kl_ppo (torchrl)", "docs/runs/r8_kl_ppo_insertion", "docs/r8_kl_ppo_insertion_eval.json"),
-            ("kl_ppo (fixed: Schulman β interval)", "docs/runs/r8_kl_ppo_fixed", "docs/r8_kl_ppo_fixed_eval.json"),
+            ("kl_ppo FIXED (Schulman β interval)", "docs/runs/r8_kl_ppo_fixed", "docs/r8_kl_ppo_fixed_eval.json"),
             ("PPO (clip)", "docs/runs/r7_ppo_insertion", "docs/r7_ppo_insertion_eval.json"),
         ],
         [-35.0, -30.0, -27.0],
