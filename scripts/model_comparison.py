@@ -61,6 +61,7 @@ GROUPS = [
             # distinct base labels so BOTH HEPi budgets render as rows
             ("HEPi @10M", "docs/runs/r8_two_agents_hepi10", "docs/r8_two_agents_hepi10_eval.json"),
             ("HEPi @15M", "docs/runs/r5_two_agents_fix", "docs/runs_two_agents_fix_r5_eval.json"),
+            ("HEPi @15M, seed 1", "docs/runs/r8_two_agents_seed2", "docs/r8_two_agents_seed2_eval.json"),
             ("EMPN", "docs/runs/r8_two_agents_empn", "docs/r8_two_agents_empn_eval.json"),
             ("Transformer", "docs/runs/r8_two_agents_transformer", "docs/r8_two_agents_transformer_eval.json"),
         ],
