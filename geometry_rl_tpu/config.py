@@ -187,6 +187,13 @@ def trainer_from_config(cfg: Dict):
     total_iterations = max(1, cfg["collector"]["total_frames"] // cfg["collector"]["frames_per_batch"])
     obj = cfg["algorithm"]["objective"]
     opt = cfg["algorithm"]["optim"]
+    beta_interval = obj.get("kl_beta_interval", "minibatch")
+    if beta_interval not in ("minibatch", "iteration"):
+        # Any other value would silently fall back to the per-minibatch
+        # torchrl controller — the exact failure mode the knob exists to fix.
+        raise ValueError(
+            f"kl_beta_interval must be 'minibatch' or 'iteration', got {beta_interval!r}"
+        )
     train_cfg = TrainConfig(
         algo=cfg["algo"],
         steps_per_batch=steps_per_batch,

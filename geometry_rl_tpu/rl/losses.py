@@ -157,6 +157,7 @@ def kl_pen_ppo_loss(
     loss_critic_type: str = "l2",
     normalize_advantage: bool = True,
     entropy_bonus: bool = False,
+    adapt: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Adaptive KL-penalty PPO — the reference's third registered algorithm
     family (`algorithm.name=kl_ppo`: configs/algorithm/kl_ppo.yaml +
@@ -204,11 +205,17 @@ def kl_pen_ppo_loss(
         clip_fraction = jnp.zeros(())
     critic_loss = critic_coef * critic_per_sample.mean()
 
-    new_beta = jnp.where(
-        kl_mean > dtarg * 1.5,
-        beta * increment,
-        jnp.where(kl_mean < dtarg / 1.5, beta * decrement, beta),
-    )
+    if adapt:
+        new_beta = jnp.where(
+            kl_mean > dtarg * 1.5,
+            beta * increment,
+            jnp.where(kl_mean < dtarg / 1.5, beta * decrement, beta),
+        )
+    else:
+        # kl_beta_interval="iteration": beta is a constant of the whole
+        # update phase — the per-minibatch controller is bypassed here and
+        # the trainer runs one adapt step per iteration instead.
+        new_beta = beta
     # Clamp to a positive band. torchrl adapts an unclamped python float, but
     # here beta lives in fp32 on-device and is multiplied by `decrement` once
     # per MINIBATCH (hundreds of times per iteration): a long low-KL stretch

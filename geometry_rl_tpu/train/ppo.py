@@ -310,11 +310,11 @@ class Trainer:
                 loss_critic_type=cfg.loss_critic_type,
                 normalize_advantage=cfg.normalize_advantage,
                 entropy_bonus=cfg.entropy_bonus,
+                # "iteration" = Schulman semantics: beta is a constant of the
+                # update phase; the adapt step runs once per iteration in
+                # _update instead, so the loss must not adapt per minibatch.
+                adapt=cfg.kl_beta_interval != "iteration",
             )
-            if cfg.kl_beta_interval == "iteration":
-                # Schulman semantics: beta is a constant of the update phase;
-                # the adapt step runs once per iteration in _update instead.
-                new_beta = kl_beta
             return actor_loss + critic_loss, (metrics, new_beta)
         else:
             clip_eps = cfg.clip_epsilon
@@ -421,10 +421,14 @@ class Trainer:
         )
         if cfg.algo == "kl_ppo" and cfg.kl_beta_interval == "iteration":
             # Schulman (2017) adaptive-KL semantics: one beta update per
-            # iteration, driven by the phase-final KL (mean over the LAST
-            # epoch's minibatches — the distribution the next iteration
-            # actually starts from). Same thresholds/factors/clamp as the
-            # per-minibatch path (rl/losses.kl_pen_ppo_loss).
+            # iteration. The adapt signal is the mean of the LAST epoch's
+            # minibatch KLs, each computed before that minibatch's parameter
+            # update — so it lags the fully-updated end-of-phase policy by up
+            # to one epoch of minibatch steps (Schulman adapts from the KL of
+            # the final policy; an extra full-batch forward pass would close
+            # the gap but costs a whole batch eval per iteration). Same
+            # thresholds/factors/clamp as the per-minibatch path
+            # (rl/losses.kl_pen_ppo_loss).
             from ..rl.losses import KL_PEN_BETA_MAX, KL_PEN_BETA_MIN
 
             kl_final = metrics["kl"][-1].mean()

@@ -15,6 +15,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # never touch the (exclusive) TPU relay
 
 import jax
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start (env vars are ignored); re-pin to CPU after import (conftest.py does
+# the same for the test suite).
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
