@@ -11,15 +11,26 @@ Usage: JAX_PLATFORMS=cpu python scripts/fp_env.py [--steps 100] [--envs 8]
 
 import argparse
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # never touch the (exclusive) TPU relay
+# resolve geometry_rl_tpu from THIS script's repo/worktree, without
+# PYTHONPATH (which breaks axon plugin registration — see skills/verify)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
-# start (env vars are ignored); re-pin to CPU after import (conftest.py does
-# the same for the test suite).
-jax.config.update("jax_platforms", "cpu")
+# start (env vars are ignored); re-pin after import (conftest.py does the
+# same for the test suite). Default is CPU — never touch the (exclusive)
+# TPU relay unless --platform default is passed explicitly: the TPU run
+# exercises the tiled Pallas cloth solver (solver_mode "auto" -> "tiled" on
+# TPU only), which the CPU run cannot reach.
+if "--platform" in sys.argv:
+    _plat = sys.argv[sys.argv.index("--platform") + 1]
+else:
+    _plat = "cpu"
+if _plat != "default":
+    jax.config.update("jax_platforms", _plat)
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,11 +49,14 @@ def main():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--envs", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="cpu", help="cpu (default) or 'default' for the ambient backend (TPU)")
     args = p.parse_args()
+    print("backend:", jax.default_backend())
 
     from geometry_rl_tpu.envs import make_env
 
     env = make_env("cloth_hanging", num_envs=args.envs)
+    print("solver_mode:", getattr(env, "solver_mode", "<none>"))
     key = jax.random.PRNGKey(args.seed)
     state = env.reset(key)
 
