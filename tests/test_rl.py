@@ -279,6 +279,14 @@ def test_kl_pen_beta_adapts():
     assert 0.01 / 1.5 < float(m["kl"]) < 0.015
     assert float(b_mid) == 2.0
 
+    # adapt=False (kl_beta_interval="iteration"): the per-minibatch
+    # controller is bypassed — beta comes back unchanged even for
+    # far-out-of-band KL, and the losses match the adapt=True call.
+    al_t, cl_t, _, _ = kl_pen_ppo_loss(far, old, value, inputs, beta, dtarg=0.01)
+    al_f, cl_f, b_const, _ = kl_pen_ppo_loss(far, old, value, inputs, beta, dtarg=0.01, adapt=False)
+    assert float(b_const) == 2.0
+    assert float(al_f) == float(al_t) and float(cl_f) == float(cl_t)
+
 
 def test_kl_pen_beta_cannot_underflow_to_absorbing_zero():
     """Regression (docs/r5_kl_ppo_insertion.log): beta is halved once per
