@@ -42,13 +42,23 @@ def main():
     p.add_argument("--envs", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default="cpu")
+    p.add_argument(
+        "--dtype",
+        default="config",
+        help="override algorithm.dtype (e.g. float32 for a high-precision "
+        "reference to measure each binary's bf16 forward error against)",
+    )
     args = p.parse_args()
     print("backend:", jax.default_backend())
 
     from geometry_rl_tpu.config import load_config, trainer_from_config
     from geometry_rl_tpu.rl.obs_pipeline import obs_norm_apply
 
-    cfg = load_config("cloth_hanging_multi_hepi_trpl", {"env": {"num_envs": args.envs}})
+    overrides = {"env": {"num_envs": args.envs}}
+    if args.dtype != "config":
+        overrides["algorithm"] = {"dtype": args.dtype}
+    cfg = load_config("cloth_hanging_multi_hepi_trpl", overrides)
+    print("dtype:", cfg["algorithm"]["dtype"])
     trainer = trainer_from_config(cfg)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
