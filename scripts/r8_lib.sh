@@ -31,13 +31,30 @@ r8_train_eval() {
     fi
   done
   room=$(( dl - $(date +%s) - 2100 )); [ "$tmo" -gt "$room" ] && tmo=$room
-  echo "[r8:$name] train start (tmo=${tmo}s) $(date)" >> "$LOG"
-  timeout "$tmo" python -m geometry_rl_tpu.train.cli \
-    --config "$cfg" \
-    --override "logger.log_dir=logs/r8_$name" \
-      logger.checkpoint.save_interval=20 "$@" \
-    > "docs/r8_${name}.log" 2>&1
-  echo "[r8:$name] train rc=$? $(date)" >> "$LOG"
+  # One retry when the relay kills the client EARLY with a transient error
+  # (observed: "remote_compile: response body closed" 4 min into
+  # 70_cloth_seed2, 09:01 UTC; FailedPrecondition at stage 37). A long run
+  # dying late keeps its checkpoints, so only early deaths retry.
+  local attempt
+  for attempt in 1 2; do
+    local t0=$(date +%s)
+    echo "[r8:$name] train start (tmo=${tmo}s, attempt $attempt) $(date)" >> "$LOG"
+    timeout "$tmo" python -m geometry_rl_tpu.train.cli \
+      --config "$cfg" \
+      --override "logger.log_dir=logs/r8_$name" \
+        logger.checkpoint.save_interval=20 "$@" \
+      >> "docs/r8_${name}.log" 2>&1
+    local rc=$?
+    echo "[r8:$name] train rc=$rc $(date)" >> "$LOG"
+    [ "$rc" -eq 0 ] && break
+    [ $(( $(date +%s) - t0 )) -gt 900 ] && break
+    grep -qE "JaxRuntimeError|INTERNAL|FailedPrecondition|DEADLINE_EXCEEDED|UNAVAILABLE" \
+      "docs/r8_${name}.log" || break
+    room=$(( dl - $(date +%s) - 2100 ))
+    [ "$room" -lt 300 ] && break
+    [ "$tmo" -gt "$room" ] && tmo=$room
+    echo "[r8:$name] transient early failure, retrying $(date)" >> "$LOG"
+  done
   local run
   run=$(ls -d logs/r8_$name/* 2>/dev/null | tail -1)
   [ -z "${run:-}" ] && { echo "[r8:$name] NO RUN DIR $(date)" >> "$LOG"; return 0; }
