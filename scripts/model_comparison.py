@@ -33,11 +33,14 @@ GROUPS = [
         [-35.0, -30.0, -27.0],
     ),
     (
-        "cloth_hanging (5M frames)",
+        "cloth_hanging (5M frames) — DRAW-SENSITIVE: HEPi success@0.2 spans "
+        "44–89% over 9 semantically-identical runs (median 60%; "
+        "docs/CLOTH_REGRESSION.md). EMPN/Transformer are single draws; "
+        "EMPN's 56% sits inside HEPi's draw band (not separable at n=1), "
+        "Transformer's 26% is below every HEPi draw.",
         [
-            # HEPi: prefer the round-4 shipped-code refresh, else the r2 flagship
-            ("HEPi", "docs/runs/r8_cloth_seed0", "docs/r8_cloth_seed0_eval.json"),
-            ("HEPi (r2)", "docs/runs/r2_cloth", "docs/runs/r2_cloth/eval_breakdown.json"),
+            ("HEPi best draw", "docs/runs/r8_cloth_r2code", "docs/r8_cloth_r2code_eval.json"),
+            ("HEPi median draw", "docs/runs/r8_cloth_seed4", "docs/r8_cloth_seed4_eval.json"),
             ("EMPN", "docs/runs/r5_empn_cloth", "docs/r5_empn_cloth_eval.json"),
             ("Transformer", "docs/runs/r5_transformer_cloth", "docs/r5_transformer_cloth_eval.json"),
         ],
