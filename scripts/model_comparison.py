@@ -211,7 +211,10 @@ def main():
                 "beta then sits at its ~1.0 equilibrium (never leaves [0.5,2]),",
                 "KL rides the dtarg band, and the family becomes the most",
                 "sample-efficient of the three (reward -30.9 @ 7.0M frames vs",
-                "TRPL 10.8M / clip-PPO 11.1M).",
+                "TRPL 10.8M / clip-PPO 11.1M). Caveat: one full-budget run +",
+                "two 70-iter probes — treat the efficiency edge as n=1 (the",
+                "round-5 seed-2 run was cut by the chip-time clamp; TRPL's own",
+                "replicates put insertion seed noise at ~0.2 pp / ~1M frames).",
                 "",
                 "PPO row: the 20M run hit its wall-clock timeout at 17.3M frames",
                 "(train reward -26.9, within noise of TRPL's plateau); eval is",
